@@ -1,0 +1,96 @@
+"""Dataset-generation CLI; flag-compatible with the reference entry point
+(gen_3dphoto_dynamic_v2.py:20-34) plus TPU-native extensions.
+
+The three reference entry-point flavors (gen_3dphoto_dynamic.py,
+gen_3dphoto_dynamic_coco.py, gen_3dphoto_dynamic_v2.py -- the first two are
+absent from the snapshot, see SURVEY.md) are exposed through --flavor.
+
+Examples:
+  python -m mpiflow_tpu.cli.generate --base data/kitti --out out/kitti \
+      --width 1280 --height 384 --repeat 5 --seed 114514 --ext_cz 0.15
+  python -m mpiflow_tpu.cli.generate --base data/coco --out out/coco \
+      --flavor coco --predictor geometric
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import logging
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    # reference flags (gen_3dphoto_dynamic_v2.py:20-34)
+    p.add_argument("--width", type=int, default=1280)
+    p.add_argument("--height", type=int, default=384)
+    p.add_argument("--seed", type=int, default=114514)
+    p.add_argument("--ext_cz", type=float, default=0.15)
+    p.add_argument("--ckpt_path", type=str, default="adampiweight/adampi_64p.pth")
+    p.add_argument("--repeat", type=int, default=5)
+    p.add_argument("--base", type=str, required=True)
+    p.add_argument("--out", type=str, required=True)
+    # TPU-native extensions
+    p.add_argument("--flavor", choices=["kitti_v2", "coco", "legacy"],
+                   default="kitti_v2", help="pose-distribution flavor")
+    p.add_argument("--predictor", choices=["adampi", "geometric"],
+                   default="adampi",
+                   help="MPI predictor: pretrained AdaMPI or network-free")
+    p.add_argument("--planes", type=int, default=64)
+    p.add_argument("--inpaint", choices=["jax", "cv2_ns"], default="jax")
+    p.add_argument("--rng", choices=["numpy", "jax"], default="numpy",
+                   help="numpy = bit-parity with reference pose streams")
+    p.add_argument("--limit", type=int, default=None,
+                   help="process only the first N images")
+    p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--hard_flow", action="store_true")
+    return p
+
+
+def make_config(args):
+    from mpiflow_tpu.config import (GenConfig, PoseConfig, RenderConfig,
+                                    InpaintConfig)
+    base_map = {"kitti_v2": (0.1, 0.1, 0.1), "coco": (0.1, 0.1, 0.1),
+                "legacy": (0.05, 0.05, 0.05)}
+    return GenConfig(
+        width=args.width, height=args.height, seed=args.seed,
+        repeat=args.repeat, ckpt_path=args.ckpt_path, base=args.base,
+        out=args.out,
+        pose=PoseConfig(flavor=args.flavor, ext_cz=args.ext_cz,
+                        base_motions=base_map[args.flavor]),
+        render=RenderConfig(num_planes=args.planes, hard_flow=args.hard_flow),
+        inpaint=InpaintConfig(method=args.inpaint),
+        rng_mode=args.rng, resume=not args.no_resume)
+
+
+def main(argv=None) -> int:
+    logging.basicConfig(level=logging.INFO)
+    args = build_parser().parse_args(argv)
+    cfg = make_config(args)
+
+    # persistent compile cache: repeated CLI invocations skip XLA recompiles
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/mpiflow_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    mpi_fn = None
+    if args.predictor == "adampi":
+        try:
+            from mpiflow_tpu.models.adampi import load_adampi_predictor
+            mpi_fn = load_adampi_predictor(args.ckpt_path, args.width,
+                                           args.height)
+        except (ImportError, FileNotFoundError) as e:
+            logging.warning("AdaMPI predictor unavailable (%s); "
+                            "falling back to geometric MPI", e)
+
+    from mpiflow_tpu.pipeline import DatasetGenerator
+    gen = DatasetGenerator(cfg, mpi_predict_fn=mpi_fn)
+    stats = gen.run(args.base, args.out, limit=args.limit)
+    print(json.dumps(stats))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

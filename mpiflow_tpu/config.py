@@ -1,0 +1,142 @@
+"""Configuration dataclasses for the generation pipeline and training.
+
+The defaults reproduce the reference CLI defaults
+(gen_3dphoto_dynamic_v2.py:20-34) and the constants hard-coded across the
+reference render path (utils/utils.py, model/AdaMPI.py).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class CameraConfig:
+    """Normalized pinhole intrinsics (reference: gen_3dphoto_dynamic_v2.py:42-49)."""
+
+    fx: float = 0.58
+    fy: float = 0.58
+    cx: float = 0.5
+    cy: float = 0.5
+    # The reference casts K to fp16 on GPU before scaling; enabling this
+    # reproduces that quantization for bit-parity experiments.
+    fp16_quantized: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class PoseConfig:
+    """Random pose distribution (reference: utils/utils.py:121-156).
+
+    Three flavors exist in the reference:
+      * "kitti_v2"  : utils/utils.py        (base 0.1, forward-biased z, angle x0.4)
+      * "coco"      : utils/utils_coco.py   (base 0.05 keyed scaling, angle x0.5)
+      * "legacy"    : utils/utils copy.py   (base 0.05, translation x0.3, angle x0.2)
+    """
+
+    flavor: str = "kitti_v2"
+    ext_cz: float = 0.15
+    base_motions: Tuple[float, float, float] = (0.1, 0.1, 0.1)
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """MPI rendering constants (reference: utils/mpi/mpi_rendering.py, utils/utils.py)."""
+
+    num_planes: int = 64
+    disp_near: float = 1.0
+    disp_far: float = 0.001           # model/AdaMPI.py:15 disp_range=[0.001, 1]
+    far_dist_cap: float = 1e3         # mpi_rendering.py:75 last-plane distance
+    cumprod_eps: float = 1e-6         # mpi_rendering.py:84
+    depth_eps: float = 1e-5           # mpi_rendering.py:152 weighted depth eps
+    flow_clip: float = 200.0          # utils/utils.py:348
+    mask_thresh: float = 0.99         # utils/utils.py:171
+    hard_flow: bool = False
+    # Compositing dtype. The reference runs fp16 end-to-end on GPU; we run
+    # fp32 (TPU bf16 is too coarse for pixel-accurate flow).
+    dtype: str = "float32"
+
+
+@dataclasses.dataclass(frozen=True)
+class InpaintConfig:
+    """Hole inpainting of motion-occlusions (reference: utils/utils.py:284-286).
+
+    method:
+      * "jax"   : iterative masked diffusion on-device (default; fully fused)
+      * "cv2_ns": exact reference behavior, cv2.inpaint(..., 3, INPAINT_NS) on host
+    """
+
+    method: str = "jax"
+    radius: int = 3
+    num_iters: int = 128
+
+
+@dataclasses.dataclass(frozen=True)
+class GenConfig:
+    """End-to-end dataset generation (reference CLI: gen_3dphoto_dynamic_v2.py:20-34)."""
+
+    width: int = 1280
+    height: int = 384
+    seed: int = 114514
+    repeat: int = 5
+    ckpt_path: str = "adampiweight/adampi_64p.pth"
+    base: str = ""
+    out: str = ""
+    camera: CameraConfig = dataclasses.field(default_factory=CameraConfig)
+    pose: PoseConfig = dataclasses.field(default_factory=PoseConfig)
+    render: RenderConfig = dataclasses.field(default_factory=RenderConfig)
+    inpaint: InpaintConfig = dataclasses.field(default_factory=InpaintConfig)
+    # Batching across images on one chip and sharding across the mesh.
+    batch_images: int = 1
+    mesh_data_axis: int = 1
+    # Host-side RNG parity with the reference (python `random` + numpy global
+    # seeds). "numpy" reproduces the reference sample stream; "jax" uses
+    # counter-based jax.random (faster, order-independent, production default).
+    rng_mode: str = "numpy"
+    resume: bool = True
+
+    @property
+    def ext_cz(self) -> float:
+        return self.pose.ext_cz
+
+
+@dataclasses.dataclass(frozen=True)
+class RAFTConfig:
+    """RAFT model hyperparameters (reference: RAFT/core/raft.py:24-56)."""
+
+    small: bool = False
+    hidden_dim: int = 128
+    context_dim: int = 128
+    corr_levels: int = 4
+    corr_radius: int = 4
+    dropout: float = 0.0
+    alternate_corr: bool = False
+    mixed_precision: bool = True
+
+    @staticmethod
+    def small_config() -> "RAFTConfig":
+        return RAFTConfig(small=True, hidden_dim=96, context_dim=64,
+                          corr_levels=4, corr_radius=3)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """RAFT training schedule (reference: RAFT/train.py:217-240, train_standard.sh)."""
+
+    name: str = "raft"
+    stage: str = "mpi-flow"
+    restore_ckpt: Optional[str] = None
+    data_root: str = ""
+    lr: float = 1e-4
+    num_steps: int = 50_000
+    batch_size: int = 6
+    image_size: Tuple[int, int] = (288, 960)
+    iters: int = 12
+    wdecay: float = 1e-5
+    epsilon: float = 1e-8
+    clip: float = 1.0
+    gamma: float = 0.85
+    max_flow: float = 400.0
+    add_noise: bool = False
+    val_freq: int = 5000
+    seed: int = 1234
+    validation: Sequence[str] = ()
