@@ -18,11 +18,13 @@ throughput numbers (SURVEY.md §6), so the honest baseline is its dataflow on
 identical hardware.
 """
 import json
+import os
 import time
 
 import numpy as np
 
 H, W, S, REPEAT = 384, 1280, 64, 5
+RENDER_MODE = os.environ.get("MPIFLOW_RENDER_MODE", "batched")
 N_WARMUP, N_ITERS = 1, 4
 
 
@@ -69,7 +71,8 @@ def bench_fused():
         def one(Go, Gc):
             return render_dynamic_sample(mpi_rgb, mpi_sigma, disparities,
                                          img, mask, Go, Gc, K, K,
-                                         inpaint_iters=128)
+                                         inpaint_iters=128,
+                                         mode=RENDER_MODE)
         return jax.vmap(one)(G_obj, G_cam)
 
     args = (img, disp, mask, jnp.asarray(G_obj), jnp.asarray(G_cam))
@@ -152,7 +155,9 @@ def bench_reference_proxy():
         f2, m2, fl2 = render_unfused(mpi_rgb, mpi_sigma, 1 - mask,
                                      jnp.asarray(Gc))
         # six D2H transfers + host compositing (utils/utils.py:237-286)
-        f1, m1, fl1, f2, m2, fl2 = map(np.asarray, (f1, m1, fl1, f2, m2, fl2))
+        f1, m1, f2, m2 = map(np.asarray, (f1, m1, f2, m2))
+        fl1 = np.array(fl1)
+        fl2 = np.array(fl2)
         t = 0.99
         fl1[:, mask_np < t] = 0
         fl2[:, mask_np >= t] = 0

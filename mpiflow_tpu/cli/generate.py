@@ -70,9 +70,10 @@ def main(argv=None) -> int:
     cfg = make_config(args)
 
     # persistent compile cache: repeated CLI invocations skip XLA recompiles
+    # (dir keyed by backend -- never share between axon/TPU and CPU)
     import jax
     jax.config.update("jax_compilation_cache_dir",
-                      "/tmp/mpiflow_jax_cache")
+                      f"/tmp/mpiflow_jax_cache_{jax.default_backend()}")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     mpi_fn = None

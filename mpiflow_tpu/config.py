@@ -51,6 +51,9 @@ class RenderConfig:
     flow_clip: float = 200.0          # utils/utils.py:348
     mask_thresh: float = 0.99         # utils/utils.py:171
     hard_flow: bool = False
+    # Renderer execution strategy: "scan" (O(H*W) memory, serial planes) or
+    # "batched" (plane-parallel gathers, materializes the warped stack).
+    mode: str = "batched"
     # Compositing dtype. The reference runs fp16 end-to-end on GPU; we run
     # fp32 (TPU bf16 is too coarse for pixel-accurate flow).
     dtype: str = "float32"

@@ -68,7 +68,10 @@ class AsyncSampleWriter:
                 return
             try:
                 key, src_u8, dst_u8, flow, mask_u8 = item
-                write_flo(os.path.join(self.out_dir, "flows", key + ".flo"), flow)
+                flo_path = os.path.join(self.out_dir, "flows", key + ".flo")
+                from mpiflow_tpu.io.native import flo_write_native
+                if not flo_write_native(flo_path, flow):
+                    write_flo(flo_path, flow)
                 save_image_u8(os.path.join(self.out_dir, "src_images", key + ".png"), src_u8)
                 save_image_u8(os.path.join(self.out_dir, "dst_images", key + ".png"), dst_u8)
                 if mask_u8 is not None:

@@ -1,0 +1,304 @@
+"""AdaMPI multiplane-image predictor (CPN + PAN) as jitted JAX inference.
+
+Functional re-implementation of the reference networks
+(model/AdaMPI.py, model/CPN/{encoder,unet,decoder}.py, model/PAN.py) over
+flat parameter dicts keyed by the torch state-dict names, so the published
+`adampi_64p.pth` checkpoint loads directly through
+mpiflow_tpu.models.torch_convert.
+
+Pipeline (model/AdaMPI.py:55-78):
+  plane disparities = linspace(1, 0.001, S+2)[1:-1]     (:64-68)
+  feature_mask = FeatMaskNetwork(rgb, disp, disparities) (CPN/unet.py)
+  feats        = ResnetEncoder(rgb, disp)                (CPN/encoder.py,
+                                                          ResNet-18, RGBD stem)
+  mpi          = DepthDecoder(feats, feature_mask)[full-res]
+  DPN (PAN.py) is constructed but bypassed (:70-71); exposed via use_dpn.
+
+Everything runs at B=1 with the plane dimension S folded into the batch axis
+of the convs (the reference's (B*S, C, H, W) reshape), NHWC on TPU.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mpiflow_tpu.geom.homography import mpi_plane_disparities
+from mpiflow_tpu.models.nn import (
+    P, adaptive_avg_pool, batch_norm, conv2d, conv_bn_act, elu, leaky_relu,
+    linear, max_pool, relu, upsample_bilinear_align_corners, upsample_nearest,
+    reflection_pad,
+)
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def decoder_key(parts: Tuple) -> str:
+    """The reference's ModuleDict key: '-'.join(str(tuple)) joins the
+    *characters* of the tuple's repr (model/CPN/decoder.py:73-75)."""
+    return "-".join(str(parts))
+
+
+# ----------------------------------------------------------- CPN encoder
+def _basic_block(x, p: P, stride: int):
+    """torchvision BasicBlock (ResNet-18/34)."""
+    y = conv_bn_act(x, p, "conv1", "bn1", relu, stride=stride, padding=1)
+    y = conv_bn_act(y, p, "conv2", "bn2", None, padding=1)
+    if "downsample.0.weight" in p:
+        x = conv2d(x, p["downsample.0.weight"], stride=stride)
+        x = batch_norm(x, p["downsample.1.running_mean"],
+                       p["downsample.1.running_var"],
+                       p["downsample.1.weight"], p["downsample.1.bias"])
+    return relu(x + y)
+
+
+def resnet_encoder(params: Dict, rgb: jnp.ndarray, disp: jnp.ndarray,
+                   prefix: str = "encoder.encoder.") -> List[jnp.ndarray]:
+    """CPN ResnetEncoder (model/CPN/encoder.py:59-101): ResNet-18 with a
+    4-channel RGBD stem; RGB ImageNet-normalized. NHWC in/out.
+
+    rgb: [1,H,W,3] in [0,1]; disp: [1,H,W,1]. Returns 5 scales
+    [conv1(H/2), layer1(H/4), layer2(H/8), layer3(H/16), layer4(H/32)].
+    """
+    p = P(params, prefix)
+    x = (rgb - IMAGENET_MEAN) / IMAGENET_STD
+    x = jnp.concatenate([x, disp], axis=-1)
+    x = conv_bn_act(x, p, "conv1", "bn1", relu, stride=2, padding=3)
+    conv1_out = x
+    x = max_pool(x, 3, 2, 1)
+    feats = [conv1_out]
+    strides = {1: 1, 2: 2, 3: 2, 4: 2}
+    for li in (1, 2, 3, 4):
+        for bi in (0, 1):
+            x = _basic_block(x, p.sub(f"layer{li}.{bi}."),
+                             stride=strides[li] if bi == 0 else 1)
+        feats.append(x)
+    return feats
+
+
+# ----------------------------------------------------------- CPN unet (FMN)
+def feat_mask_network(params: Dict, rgb: jnp.ndarray, disp: jnp.ndarray,
+                      disparities: jnp.ndarray,
+                      prefix: str = "fmn.") -> jnp.ndarray:
+    """FeatMaskNetwork (model/CPN/unet.py:18-69): per-plane 5-channel UNet,
+    softmax over planes. rgb [1,H,W,3], disp [1,H,W,1], disparities [S].
+    Returns feature_mask [S,H,W]."""
+    p = P(params, prefix)
+    S = disparities.shape[0]
+    _, H, W, _ = rgb.shape
+    rgbd = jnp.concatenate([rgb, disp], axis=-1)                  # [1,H,W,4]
+    x = jnp.broadcast_to(rgbd, (S, H, W, 4))
+    dchan = jnp.broadcast_to(disparities[:, None, None, None], (S, H, W, 1))
+    x = jnp.concatenate([x, dchan], axis=-1)                      # [S,H,W,5]
+
+    def cbr(x, i, stride=1):
+        return conv_bn_act(x, p, f"conv{i}.layer.0", f"conv{i}.layer.1",
+                           relu, stride=stride, padding=1)
+
+    c1 = cbr(x, 1)
+    c2 = cbr(c1, 2, stride=2)
+    c3 = cbr(c2, 3, stride=2)
+    c4 = cbr(c3, 4, stride=2)
+    c5 = cbr(c4, 5)
+    u5 = upsample_bilinear_align_corners(c5, c3.shape[1], c3.shape[2])
+    c6 = cbr(jnp.concatenate([u5, c3], -1), 6)
+    u6 = upsample_bilinear_align_corners(c6, c2.shape[1], c2.shape[2])
+    c7 = cbr(jnp.concatenate([u6, c2], -1), 7)
+    u7 = upsample_bilinear_align_corners(c7, c1.shape[1], c1.shape[2])
+    c8 = cbr(jnp.concatenate([u7, c1], -1), 8)
+    c9 = cbr(c8, 9)                                               # [S,H,W,1]
+    fm = jax.nn.softmax(c9[..., 0], axis=0)                       # over planes
+    return fm
+
+
+# ----------------------------------------------------------- CPN decoder
+def _gated_conv(x, p: P):
+    """GatedConv (decoder.py:23-37): reflection pad + conv * sigmoid(mask)."""
+    x = reflection_pad(x, 1)
+    f = conv2d(x, p["conv2d.weight"], p["conv2d.bias"])
+    m = conv2d(x, p["mask_conv2d.weight"], p["mask_conv2d.bias"])
+    return f * jax.nn.sigmoid(m)
+
+
+def _gated_conv_block(x, p: P):
+    """GatedConvBlock (decoder.py:40-51): gated conv -> BN -> ELU."""
+    x = _gated_conv(x, p.sub("gated_conv."))
+    x = batch_norm(x, p["bn.running_mean"], p["bn.running_var"],
+                   p["bn.weight"], p["bn.bias"])
+    return elu(x)
+
+
+def _conv_block(x, p: P, name: str, padding: int):
+    """decoder.py:54-69 `conv`: Conv2d(bias=False) + BN + LeakyReLU(0.1)."""
+    x = conv2d(x, p[f"{name}.0.weight"], padding=padding)
+    x = batch_norm(x, p[f"{name}.1.running_mean"], p[f"{name}.1.running_var"],
+                   p[f"{name}.1.weight"], p[f"{name}.1.bias"])
+    return leaky_relu(x, 0.1)
+
+
+def depth_decoder(params: Dict, enc_feats: List[jnp.ndarray],
+                  feature_mask: jnp.ndarray, prefix: str = "decoder.",
+                  scales=(0, 1, 2, 3)) -> List[jnp.ndarray]:
+    """DepthDecoder (model/CPN/decoder.py:72-174) at B=1, S planes.
+
+    enc_feats: 5 NHWC scales with leading dim 1; feature_mask [S,H,W].
+    Returns multi-scale MPIs, index 0 = full resolution [S,H,W,4]
+    (rgb sigmoid, sigma relu(out*cum_mask)+1e-4).
+    """
+    p = P(params, prefix)
+    S = feature_mask.shape[0]
+
+    # receptive-field extension (decoder.py:127-131)
+    enc_out = enc_feats[-1]
+    x = _conv_block(max_pool(enc_out, 3, 2, 1), p, "conv_down1", 0)
+    x = _conv_block(max_pool(x, 3, 2, 1), p, "conv_down2", 1)
+    x = _conv_block(upsample_nearest(x), p, "conv_up1", 1)
+    conv_up2 = _conv_block(upsample_nearest(x), p, "conv_up2", 0)
+
+    # plane context masks (decoder.py:135-137)
+    fm = feature_mask[None]                                   # [1,S,H,W]
+    cum_mask = jnp.cumsum(fm, axis=1)
+    inpaint_mask = jnp.concatenate(
+        [jnp.zeros_like(cum_mask[:, -1:]), cum_mask[:, :-1]], axis=1)
+    context_mask = 1.0 - inpaint_mask                         # [1,S,H,W]
+
+    from mpiflow_tpu.ops.resample import adaptive_avg_pool2d as pool_hw
+
+    def tile_with_masks(feat):
+        """(decoder.py:139-152): feat [1,h,w,C] -> [S,h,w,C+2] with
+        context/feature masks pooled to (h,w). Masks are [1,S,H,W]
+        (pooled over the trailing spatial dims)."""
+        h, w = feat.shape[1], feat.shape[2]
+        ctx = pool_hw(context_mask, h, w)[0][..., None]             # [S,h,w,1]
+        fmk = pool_hw(fm, h, w)[0][..., None]
+        tiled = jnp.broadcast_to(feat, (S,) + feat.shape[1:])
+        return jnp.concatenate([tiled * ctx, ctx, fmk], axis=-1)
+
+    x = tile_with_masks(conv_up2)
+    skips = [tile_with_masks(f) for f in enc_feats]
+
+    outputs = []
+    for i in range(4, -1, -1):
+        x = _gated_conv_block(x, p.sub(f"convs.{decoder_key(('upconv', i, 0))}."))
+        x = upsample_nearest(x)
+        if i > 0:
+            x = jnp.concatenate([x, skips[i - 1]], axis=-1)
+        x = _gated_conv_block(x, p.sub(f"convs.{decoder_key(('upconv', i, 1))}."))
+        if i in scales:
+            out = _gated_conv(x, p.sub(f"convs.{decoder_key(('dispconv', i))}."))
+            h, w = out.shape[1], out.shape[2]
+            cur_mask = pool_hw(cum_mask, h, w)[0][..., None]
+            rgb = jax.nn.sigmoid(out[..., 0:3])
+            sigma = relu(out[..., 3:4] * cur_mask) + 1e-4
+            outputs.append(jnp.concatenate([rgb, sigma], axis=-1))
+    return outputs[::-1]
+
+
+# ----------------------------------------------------------- PAN / DPN
+def depth_prediction_network(params: Dict, init_disp: jnp.ndarray,
+                             rgb_low: jnp.ndarray, disp_low: jnp.ndarray,
+                             prefix: str = "dpn.") -> jnp.ndarray:
+    """DepthPredictionNetwork (model/PAN.py:80-109): per-plane disparity
+    adjustment via a downsize CNN + 4-head self-attention over planes.
+    Bypassed in the reference forward (model/AdaMPI.py:70-71) but exposed
+    for the full AdaMPI capability surface.
+
+    init_disp [S]; rgb_low [1,h,w,3]; disp_low [1,h,w,1]. Returns [S]."""
+    p = P(params, prefix)
+    S = init_disp.shape[0]
+    h, w = rgb_low.shape[1], rgb_low.shape[2]
+    rgbd = jnp.concatenate([rgb_low, disp_low], axis=-1)
+    x = jnp.broadcast_to(rgbd, (S, h, w, 4))
+    dchan = jnp.broadcast_to(init_disp[:, None, None, None], (S, h, w, 1))
+    x = jnp.concatenate([x, dchan], axis=-1)                   # [S,h,w,5]
+
+    # DownsizeEncoder: 5 ResBlocks each followed by 2x2 avg pool (PAN.py:31-46)
+    for i in range(5):
+        bp = p.sub(f"context_encoder.res_blocks.{i}.")
+        y = conv2d(x, bp["conv1.weight"], bp["conv1.bias"], padding=1)
+        y = relu(y)
+        y = batch_norm(y, bp["bn.running_mean"], bp["bn.running_var"],
+                       bp["bn.weight"], bp["bn.bias"])
+        y = conv2d(y, bp["conv2.weight"], bp["conv2.bias"], padding=1)
+        sc = conv2d(x, bp["conv3.weight"], bp["conv3.bias"])
+        x = relu(sc + y)
+        N, H2, W2, C = x.shape
+        x = x.reshape(N, H2 // 2, 2, W2 // 2, 2, C).mean(axis=(2, 4))
+
+    ctx = x.mean(axis=(1, 2))                                  # [S,C] (GAP)
+    ctx = ctx[None]                                            # [1,S,C]
+
+    # 4-head self-attention over the plane axis (PAN.py:49-66)
+    heads = []
+    for hi in range(4):
+        Q = linear(ctx, p[f"self_attention.wQs.{hi}.weight"],
+                   p[f"self_attention.wQs.{hi}.bias"])
+        K = linear(ctx, p[f"self_attention.wKs.{hi}.weight"],
+                   p[f"self_attention.wKs.{hi}.bias"])
+        V = linear(ctx, p[f"self_attention.wVs.{hi}.weight"],
+                   p[f"self_attention.wVs.{hi}.bias"])
+        att = jax.nn.softmax(
+            jnp.einsum("bik,bjk->bij", Q, K,
+                       precision=jax.lax.Precision.HIGHEST)
+            / np.sqrt(Q.shape[-1]), axis=2)
+        heads.append(jnp.einsum("bij,bjc->bic", att, V,
+                                precision=jax.lax.Precision.HIGHEST))
+    feat = linear(jnp.concatenate(heads, axis=-1),
+                  p["self_attention.fusion.weight"],
+                  p["self_attention.fusion.bias"])
+    feat = relu(linear(feat, p["embed.0.weight"], p["embed.0.bias"]))
+    off = linear(feat, p["to_disp.linear.weight"],
+                 p["to_disp.linear.bias"])[0, :, 0]            # [S]
+    return init_disp + off / S
+
+
+# ----------------------------------------------------------- full predictor
+def adampi_forward(params: Dict, image: jnp.ndarray, disp: jnp.ndarray,
+                   num_planes: int, use_dpn: bool = False):
+    """MPIPredictor.forward (model/AdaMPI.py:55-78).
+
+    image [3,H,W] in [0,1]; disp [H,W]. Returns
+    (mpi_rgb [S,3,H,W], mpi_sigma [S,1,H,W], disparities [S]).
+    """
+    H, W = image.shape[1], image.shape[2]
+    rgb = image.transpose(1, 2, 0)[None]                       # [1,H,W,3]
+    d = disp[None, :, :, None]                                 # [1,H,W,1]
+    disparities = jnp.asarray(mpi_plane_disparities(num_planes))
+
+    if use_dpn:
+        low_h, low_w = H // 4, W // 4
+        rgb_low = upsample_bilinear_align_corners(rgb, low_h, low_w)
+        disp_low = upsample_bilinear_align_corners(d, low_h, low_w)
+        disparities = depth_prediction_network(params, disparities, rgb_low,
+                                               disp_low)
+
+    fm = feat_mask_network(params, rgb, d, disparities)        # [S,H,W]
+    feats = resnet_encoder(params, rgb, d)
+    mpi = depth_decoder(params, feats, fm)[0]                  # [S,H,W,4]
+    mpi = mpi.transpose(0, 3, 1, 2)                            # [S,4,H,W]
+    return mpi[:, 0:3], mpi[:, 3:4], disparities
+
+
+def load_adampi_predictor(ckpt_path: str, width: int, height: int,
+                          use_dpn: bool = False):
+    """Load adampi_64p.pth (keys {'num_planes','weight'},
+    gen_3dphoto_dynamic_v2.py:52-58) and return an MPIPredictFn for the
+    generation pipeline: (image [3,H,W], disp [H,W]) ->
+    (mpi_rgb [S,3,H,W], mpi_sigma [S,1,H,W])."""
+    from mpiflow_tpu.models.torch_convert import load_torch_checkpoint
+    ckpt = load_torch_checkpoint(ckpt_path)
+    num_planes = int(ckpt.get("num_planes", 64))
+    from mpiflow_tpu.models.torch_convert import convert_state_dict
+    params = convert_state_dict(ckpt["weight"])
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+
+    def predict(image, disp):
+        rgb, sigma, _ = adampi_forward(params, image, disp, num_planes,
+                                       use_dpn=use_dpn)
+        return rgb, sigma
+
+    return predict

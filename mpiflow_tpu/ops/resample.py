@@ -68,6 +68,18 @@ def resize_bilinear_align_corners(img: jnp.ndarray, out_h: int, out_w: int) -> j
     return bilinear_sample_border(img, coords)
 
 
+def resize_bilinear(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """Resize [C,H,W], torch bilinear align_corners=False (half-pixel centers
+    with border clamping; F.interpolate's default)."""
+    C, H, W = img.shape
+    if (H, W) == (out_h, out_w):
+        return img
+    ys = (jnp.arange(out_h, dtype=jnp.float32) + 0.5) * (H / out_h) - 0.5
+    xs = (jnp.arange(out_w, dtype=jnp.float32) + 0.5) * (W / out_w) - 0.5
+    coords = jnp.stack(jnp.meshgrid(xs, ys), axis=-1)
+    return bilinear_sample_border(img, coords)
+
+
 def avg_pool2d(x: jnp.ndarray, k: int = 2) -> jnp.ndarray:
     """Non-overlapping kxk average pooling on [...,H,W] (torch F.avg_pool2d)."""
     *lead, H, W = x.shape

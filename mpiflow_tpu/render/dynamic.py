@@ -81,7 +81,8 @@ def render_dynamic_sample(mpi_rgb: jnp.ndarray,
                           flow_clip: float = 200.0,
                           hard_flow: bool = False,
                           inpaint_iters: int = 128,
-                          inpaint_on_device: bool = True) -> DynamicSample:
+                          inpaint_on_device: bool = True,
+                          mode: str = "batched") -> DynamicSample:
     """Full dynamic-object sample generation (render_3dphoto_dynamic).
 
     Args:
@@ -98,11 +99,11 @@ def render_dynamic_sample(mpi_rgb: jnp.ndarray,
     r_obj = render_novel_view(mpi_rgb, mpi_sigma, disparities, G_obj,
                               K_src, K_tgt, src_img=src_img,
                               obj_mask=obj_mask, flow_clip=flow_clip,
-                              hard_flow=hard_flow)
+                              hard_flow=hard_flow, mode=mode)
     r_cam = render_novel_view(mpi_rgb, mpi_sigma, disparities, G_cam,
                               K_src, K_tgt, src_img=src_img,
                               obj_mask=1.0 - obj_mask, flow_clip=flow_clip,
-                              hard_flow=hard_flow)
+                              hard_flow=hard_flow, mode=mode)
 
     flow_mix, frame_mix, holes = compose_dynamic_pair(
         r_obj.frame, r_obj.obj_mask, r_obj.flow,

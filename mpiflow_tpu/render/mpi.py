@@ -118,9 +118,20 @@ def render_novel_view(mpi_rgb: jnp.ndarray,
                       cumprod_eps: float = 1e-6,
                       far_cap: float = 1e3,
                       depth_eps: float = 1e-5,
-                      hard_flow: bool = False) -> NovelView:
+                      hard_flow: bool = False,
+                      mode: str = "scan") -> NovelView:
     """Render the MPI at a novel pose; fused equivalent of
     utils/utils.py:291-349 (render_novel_view_dynamic).
+
+    mode:
+      * "scan":    one lax.scan over planes, O(H*W) live memory (the
+                   HBM-lean path; plane count scales freely).
+      * "batched": all planes warped in one batched gather, compositing via
+                   vectorized cumulative products. Materializes the
+                   (S,8,H,W) warped stack (~1GB fp32 at KITTI res) but
+                   issues ONE large gather instead of S serial ones --
+                   faster when per-gather latency dominates. Numerics
+                   identical (shared golden tests).
 
     Args:
       mpi_rgb:   [S,3,H,W] plane colors (raw MPI; source blending is fused
@@ -159,6 +170,18 @@ def render_novel_view(mpi_rgb: jnp.ndarray,
     obj = obj_mask if obj_mask is not None else jnp.zeros((H, W), dtype)
     has_src = src_img is not None
     src = src_img if has_src else jnp.zeros((3, H, W), dtype)
+
+    # --- shared source-frame quantities (both modes) -------------------
+    # source sigma distances: ray_norm * delta_depth, far cap on the last
+    dist_src_all = jnp.concatenate(
+        [(depths[1:] - depths[:-1])[:, None, None] * ray_norm[None],
+         jnp.full((1, H, W), far_cap, dtype)], axis=0)          # [S,H,W]
+
+    if mode == "batched":
+        return _render_batched(
+            mpi_rgb, mpi_sigma, dist_src_all, H_ts, H_st, depths, Rrays, t,
+            grid_flat, obj, has_src, src, flow_clip, cumprod_eps, far_cap,
+            depth_eps, hard_flow)
 
     zeros_hw = jnp.zeros((H, W), dtype)
 
@@ -273,3 +296,64 @@ def render_novel_view(mpi_rgb: jnp.ndarray,
     flow = jnp.clip(flow, -flow_clip, flow_clip)
     return NovelView(frame=rgb_acc, depth=depth, flow=flow,
                      obj_mask=obj_acc, valid_sum=valid_acc)
+
+
+def _render_batched(mpi_rgb, mpi_sigma, dist_src_all, H_ts, H_st, depths,
+                    Rrays, t, grid_flat, obj, has_src, src, flow_clip,
+                    cumprod_eps, far_cap, depth_eps, hard_flow) -> NovelView:
+    """Plane-parallel variant of render_novel_view (see `mode`)."""
+    S, _, H, W = mpi_rgb.shape
+    dtype = mpi_rgb.dtype
+
+    def exclusive_cumprod(T):  # [S,...]
+        acc = jnp.cumprod(T + cumprod_eps, axis=0)
+        return jnp.concatenate([jnp.ones_like(T[:1]), acc[:-1]], axis=0)
+
+    # source-frame transmittance chain (flow weights + rgb blend weights)
+    T_src = jnp.exp(-mpi_sigma[:, 0] * dist_src_all)            # [S,H,W]
+    T_src_acc = exclusive_cumprod(T_src)
+    w_src = T_src_acc * (1.0 - T_src)
+
+    # per-plane coords / validity / analytic flow, all planes at once
+    src_homo = jnp.matmul(H_st, grid_flat[None], precision=_HI)  # [S,3,HW]
+    coords = (src_homo[:, 0:2] / src_homo[:, 2:3]).reshape(S, 2, H, W)
+    valid = ((coords[:, 0] < W) & (coords[:, 0] > -1)
+             & (coords[:, 1] < H) & (coords[:, 1] > -1)).astype(dtype)
+    tgt_homo = jnp.matmul(H_ts, grid_flat[None], precision=_HI)
+    flow_all = ((tgt_homo[:, 0:2] / tgt_homo[:, 2:3])
+                - grid_flat[None, 0:2]).reshape(S, 2, H, W)
+
+    xyz_tgt = (Rrays[None] * depths[:, None, None]
+               + t[None, :, None]).reshape(S, 3, H, W)
+    rgb = mpi_rgb
+    if has_src:
+        rgb = T_src_acc[:, None] * src[None] + (1 - T_src_acc[:, None]) * rgb
+    stack = jnp.concatenate(
+        [rgb, mpi_sigma, xyz_tgt,
+         jnp.broadcast_to(obj[None, None], (S, 1, H, W))], axis=1)
+
+    warped = jax.vmap(bilinear_sample_border)(
+        stack, coords.transpose(0, 2, 3, 1))                    # [S,8,H,W]
+    sigma_w = jnp.where(warped[:, 6] >= 0, warped[:, 3], 0.0)   # z>=0 mask
+
+    # target-frame distances between consecutive warped xyz
+    xyz_w = warped[:, 4:7]
+    d = jnp.linalg.norm(xyz_w[1:] - xyz_w[:-1], axis=1)
+    d = jnp.concatenate([d, jnp.full((1, H, W), far_cap, dtype)], axis=0)
+    T_tgt = jnp.exp(-sigma_w * d)
+    T_tgt_acc = exclusive_cumprod(T_tgt)
+    w_tgt = T_tgt_acc * (1.0 - T_tgt)                           # [S,H,W]
+
+    frame = (w_tgt[:, None] * warped[:, 0:3]).sum(0)
+    z_sum = (w_tgt * xyz_w[:, 2]).sum(0)
+    depth = z_sum / (w_tgt.sum(0) + depth_eps)
+    obj_out = (w_tgt * warped[:, 7]).sum(0)
+    if hard_flow:
+        idx = jnp.argmax(w_src, axis=0)                         # [H,W]
+        flow = jnp.take_along_axis(
+            flow_all, idx[None, None].repeat(2, 1), axis=0)[0]
+    else:
+        flow = (w_src[:, None] * flow_all).sum(0)
+    flow = jnp.clip(flow, -flow_clip, flow_clip)
+    return NovelView(frame=frame, depth=depth, flow=flow, obj_mask=obj_out,
+                     valid_sum=valid.sum(0))

@@ -1,0 +1,189 @@
+"""RAFT evaluation: KITTI / Sintel validation and submission writers.
+
+Reference: RAFT/evaluate.py. Metrics:
+  * EPE  = mean endpoint error over valid pixels
+  * F1   = 100 * fraction of valid pixels with EPE>3px AND EPE/mag>0.05
+    (evaluate.py:155)
+KITTI is evaluated per-image-mean EPE (evaluate.py:156-162); Sintel over all
+pixels pooled (:104-125). Inputs are padded to multiples of 8 with replicate
+padding (InputPadder, RAFT/core/utils/utils.py:7-24).
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mpiflow_tpu.config import RAFTConfig
+from mpiflow_tpu.models.raft import raft_forward
+
+
+def pad_to_multiple_of_8(img: np.ndarray, mode: str = "sintel"):
+    """Replicate-pad [H,W,C] so H,W % 8 == 0. Returns (padded, crop_slices)."""
+    ht, wd = img.shape[:2]
+    pad_ht = (((ht // 8) + 1) * 8 - ht) % 8
+    pad_wd = (((wd // 8) + 1) * 8 - wd) % 8
+    if mode == "sintel":
+        pads = ((pad_ht // 2, pad_ht - pad_ht // 2),
+                (pad_wd // 2, pad_wd - pad_wd // 2))
+    else:  # kitti: pad top only... reference pads bottom: [0, pad_ht]
+        pads = ((0, pad_ht), (pad_wd // 2, pad_wd - pad_wd // 2))
+    out = np.pad(img, pads + ((0, 0),), mode="edge")
+    crop = (slice(pads[0][0], pads[0][0] + ht),
+            slice(pads[1][0], pads[1][0] + wd))
+    return out, crop
+
+
+def epe_f1(flow_pred: np.ndarray, flow_gt: np.ndarray,
+           valid: Optional[np.ndarray] = None) -> Tuple[float, float, np.ndarray]:
+    """Per-image EPE + F1 outlier vector (evaluate.py:148-157)."""
+    epe = np.sqrt(((flow_pred - flow_gt) ** 2).sum(-1))
+    mag = np.sqrt((flow_gt ** 2).sum(-1))
+    if valid is None:
+        valid = np.ones(epe.shape, bool)
+    else:
+        valid = valid >= 0.5
+    epe_v = epe[valid]
+    out = ((epe > 3.0) & (epe / np.maximum(mag, 1e-12) > 0.05))[valid]
+    return float(epe_v.mean()), float(100 * out.mean()), epe_v
+
+
+def forward_interpolate(flow: np.ndarray) -> np.ndarray:
+    """Warm-start propagation of low-res flow to the next frame
+    (RAFT/core/utils/utils.py:26-54): forward-advect each vector and
+    nearest-neighbor re-grid. flow [h,w,2] -> [h,w,2]."""
+    from scipy import interpolate as scinterp
+    dx, dy = flow[..., 0], flow[..., 1]
+    ht, wd = dx.shape
+    x0, y0 = np.meshgrid(np.arange(wd), np.arange(ht))
+    x1 = (x0 + dx).reshape(-1)
+    y1 = (y0 + dy).reshape(-1)
+    dxf, dyf = dx.reshape(-1), dy.reshape(-1)
+    valid = (x1 > 0) & (x1 < wd) & (y1 > 0) & (y1 < ht)
+    if valid.sum() < 4:
+        return np.zeros_like(flow)
+    flow_x = scinterp.griddata((x1[valid], y1[valid]), dxf[valid], (x0, y0),
+                               method="nearest", fill_value=0)
+    flow_y = scinterp.griddata((x1[valid], y1[valid]), dyf[valid], (x0, y0),
+                               method="nearest", fill_value=0)
+    return np.stack([flow_x, flow_y], axis=-1).astype(np.float32)
+
+
+def create_sintel_submission(params, data_root: str, output_path: str,
+                             cfg: RAFTConfig = RAFTConfig(), iters: int = 32,
+                             warm_start: bool = False):
+    """Sintel test-split submission writer (evaluate.py:22-50)."""
+    from mpiflow_tpu.data.datasets import SintelPairs
+    from mpiflow_tpu.io.flo import write_flo
+    from mpiflow_tpu.models.raft import raft_forward
+    import jax
+
+    @jax.jit
+    def infer(img1, img2, flow_init):
+        preds = raft_forward(params, img1, img2, cfg, iters=iters,
+                             flow_init=flow_init)
+        return preds[-1]
+
+    for dstype in ("clean", "final"):
+        ds = SintelPairs(data_root, "test", dstype, aug_params=None)
+        flow_prev, seq_prev = None, None
+        for i in range(len(ds)):
+            img1, img2, _, _ = ds[i]
+            sequence, frame = ds.extra_info[i]
+            if sequence != seq_prev:
+                flow_prev = None
+            p1, crop = pad_to_multiple_of_8(img1.astype(np.float32))
+            p2, _ = pad_to_multiple_of_8(img2.astype(np.float32))
+            h8, w8 = p1.shape[0] // 8, p1.shape[1] // 8
+            init = (jnp.zeros((1, h8, w8, 2)) if flow_prev is None
+                    else jnp.asarray(flow_prev[None]))
+            pred = np.asarray(infer(jnp.asarray(p1[None]),
+                                    jnp.asarray(p2[None]), init))
+            flow = pred[0][crop[0], crop[1]]
+            if warm_start:
+                low = pred[0][::8, ::8] / 8.0
+                flow_prev = forward_interpolate(low)
+            out_dir = os.path.join(output_path, dstype, sequence)
+            os.makedirs(out_dir, exist_ok=True)
+            write_flo(os.path.join(out_dir, f"frame{frame + 1:04d}.flo"), flow)
+            seq_prev = sequence
+
+
+def _make_infer(params, cfg: RAFTConfig, iters: int):
+    @jax.jit
+    def infer(img1, img2):
+        preds = raft_forward(params, img1, img2, cfg, iters=iters)
+        return preds[-1]
+    return infer
+
+
+def validate_kitti(params, data_root: str, cfg: RAFTConfig = RAFTConfig(),
+                   iters: int = 24, log_fn=print) -> Dict[str, float]:
+    """KITTI-2015 training split validation (evaluate.py:131-166)."""
+    from mpiflow_tpu.data.datasets import KITTIPairs
+    ds = KITTIPairs(data_root, "training", aug_params=None)
+    infer = _make_infer(params, cfg, iters)
+    epes, outs = [], []
+    for i in range(len(ds)):
+        img1, img2, flow_gt, valid = ds[i]
+        p1, crop = pad_to_multiple_of_8(img1.astype(np.float32), "kitti")
+        p2, _ = pad_to_multiple_of_8(img2.astype(np.float32), "kitti")
+        pred = np.asarray(infer(jnp.asarray(p1[None]), jnp.asarray(p2[None])))
+        pred = pred[0][crop[0], crop[1]]
+        epe, _, _ = epe_f1(pred, flow_gt, valid)
+        # F1 pools outlier flags across images (evaluate.py:157-163)
+        e = np.sqrt(((pred - flow_gt) ** 2).sum(-1))
+        m = np.sqrt((flow_gt ** 2).sum(-1))
+        v = valid >= 0.5
+        outs.append(((e > 3.0) & (e / np.maximum(m, 1e-12) > 0.05))[v])
+        epes.append(epe)
+    res = {"kitti-epe": float(np.mean(epes)),
+           "kitti-f1": float(100 * np.concatenate(outs).mean())}
+    log_fn(f"Validation KITTI: {res['kitti-epe']:.6f}, {res['kitti-f1']:.6f}")
+    return res
+
+
+def validate_sintel(params, data_root: str, cfg: RAFTConfig = RAFTConfig(),
+                    iters: int = 32, log_fn=print) -> Dict[str, float]:
+    """Sintel training split validation (evaluate.py:96-127)."""
+    from mpiflow_tpu.data.datasets import SintelPairs
+    infer = _make_infer(params, cfg, iters)
+    results = {}
+    for dstype in ("clean", "final"):
+        ds = SintelPairs(data_root, "training", dstype, aug_params=None)
+        epe_all = []
+        for i in range(len(ds)):
+            img1, img2, flow_gt, _ = ds[i]
+            p1, crop = pad_to_multiple_of_8(img1.astype(np.float32))
+            p2, _ = pad_to_multiple_of_8(img2.astype(np.float32))
+            pred = np.asarray(infer(jnp.asarray(p1[None]),
+                                    jnp.asarray(p2[None])))
+            pred = pred[0][crop[0], crop[1]]
+            epe_all.append(np.sqrt(((pred - flow_gt) ** 2).sum(-1)).ravel())
+        epe_all = np.concatenate(epe_all)
+        results[dstype] = float(epe_all.mean())
+        log_fn(f"Validation ({dstype}) EPE: {results[dstype]:.6f}, "
+               f"1px: {(epe_all < 1).mean():.6f}, "
+               f"3px: {(epe_all < 3).mean():.6f}, "
+               f"5px: {(epe_all < 5).mean():.6f}")
+    return results
+
+
+def create_kitti_submission(params, data_root: str, output_path: str,
+                            cfg: RAFTConfig = RAFTConfig(), iters: int = 24):
+    """KITTI test-split PNG16 submission (evaluate.py:53-71)."""
+    from mpiflow_tpu.data.datasets import KITTIPairs
+    from mpiflow_tpu.io.flo import write_flow_kitti
+    ds = KITTIPairs(data_root, "testing", aug_params=None)
+    infer = _make_infer(params, cfg, iters)
+    os.makedirs(output_path, exist_ok=True)
+    for i in range(len(ds)):
+        img1, img2, _, _ = ds[i]
+        p1, crop = pad_to_multiple_of_8(img1.astype(np.float32), "kitti")
+        p2, _ = pad_to_multiple_of_8(img2.astype(np.float32), "kitti")
+        pred = np.asarray(infer(jnp.asarray(p1[None]), jnp.asarray(p2[None])))
+        pred = pred[0][crop[0], crop[1]]
+        write_flow_kitti(os.path.join(output_path, ds.extra_info[i][0]), pred)

@@ -23,9 +23,13 @@ GOLDEN_DIR = pathlib.Path(__file__).resolve().parent / "golden" / "data"
 import numpy as np
 import pytest
 
-# persistent compile cache: repeated test runs skip recompilation
+# persistent compile cache: repeated test runs skip recompilation.
+# NOTE: keyed per-backend -- the axon TPU plugin's remote-compile service
+# writes CPU AOT blobs for a DIFFERENT host CPU into the cache, which load
+# with mismatched machine features and corrupt numerics (observed as golden
+# test failures). Never share a cache dir with the axon backend.
 import jax
-jax.config.update("jax_compilation_cache_dir", "/tmp/mpiflow_jax_cache")
+jax.config.update("jax_compilation_cache_dir", "/tmp/mpiflow_jax_cache_cputest")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 

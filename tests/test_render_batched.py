@@ -1,0 +1,52 @@
+import numpy as np
+import jax.numpy as jnp
+
+from mpiflow_tpu.render import render_novel_view
+
+
+def test_batched_mode_matches_scan_and_reference(golden):
+    g = golden("e2e_dynamic")
+    rgb = jnp.asarray(g["mpi_all"][0, :, 0:3])
+    sigma = jnp.asarray(g["mpi_all"][0, :, 3:4])
+    disp = jnp.asarray(g["disp"])
+    K = jnp.asarray(g["K"])
+    src = jnp.asarray(g["src_img"][0])
+    obj = jnp.asarray(g["obj_mask"][0, 0])
+
+    out_b = render_novel_view(rgb, sigma, disp, jnp.asarray(g["G_obj"]),
+                              K, K, src_img=src, obj_mask=obj,
+                              mode="batched")
+    np.testing.assert_allclose(np.asarray(out_b.frame), g["frame"][0],
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_b.flow), g["flow"][0],
+                               rtol=1e-4, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(out_b.obj_mask), g["mask"][0, 0],
+                               rtol=1e-4, atol=1e-4)
+
+    out_s = render_novel_view(rgb, sigma, disp, jnp.asarray(g["G_obj"]),
+                              K, K, src_img=src, obj_mask=obj, mode="scan")
+    np.testing.assert_allclose(np.asarray(out_b.frame),
+                               np.asarray(out_s.frame), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_b.flow),
+                               np.asarray(out_s.flow), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_b.depth),
+                               np.asarray(out_s.depth), rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(out_b.valid_sum),
+                               np.asarray(out_s.valid_sum), atol=1e-4)
+
+
+def test_batched_hard_flow_matches_scan(golden):
+    g = golden("e2e_dynamic")
+    rgb = jnp.asarray(g["mpi_all"][0, :, 0:3])
+    sigma = jnp.asarray(g["mpi_all"][0, :, 3:4])
+    disp = jnp.asarray(g["disp"])
+    K = jnp.asarray(g["K"])
+    src = jnp.asarray(g["src_img"][0])
+    obj = jnp.asarray(g["obj_mask"][0, 0])
+    kw = dict(src_img=src, obj_mask=obj, hard_flow=True)
+    out_b = render_novel_view(rgb, sigma, disp, jnp.asarray(g["G_obj"]),
+                              K, K, mode="batched", **kw)
+    out_s = render_novel_view(rgb, sigma, disp, jnp.asarray(g["G_obj"]),
+                              K, K, mode="scan", **kw)
+    np.testing.assert_allclose(np.asarray(out_b.flow),
+                               np.asarray(out_s.flow), atol=1e-5)

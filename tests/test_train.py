@@ -1,0 +1,125 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mpiflow_tpu.config import RAFTConfig, TrainConfig
+from mpiflow_tpu.train.raft_train import (
+    sequence_loss, make_optimizer, make_train_step, Trainer,
+    onecycle_linear_schedule,
+)
+
+
+def test_param_manifest_matches_torch_state_dict(golden):
+    """raft_param_shapes must enumerate exactly the torch state dict
+    (modulo norm3/downsample.1 aliasing and instance norms)."""
+    from mpiflow_tpu.models.raft_init import raft_param_shapes
+    g = golden("raft")
+    torch_keys = {}
+    for k, shape_s in zip(g["sd_keys"], g["sd_shapes"]):
+        shape = tuple(int(s) for s in shape_s.split(",") if s)
+        if k.endswith("num_batches_tracked") or len(shape) == 0:
+            continue
+        if len(shape) == 4:  # OIHW -> HWIO
+            shape = (shape[2], shape[3], shape[1], shape[0])
+        torch_keys[k] = shape
+    mine = raft_param_shapes(small=False)
+    # torch also exposes norm3 aliases of downsample.1 (fnet/cnet res blocks)
+    alias = {k for k in torch_keys if ".norm3." in k and "layer" in k}
+    missing = set(torch_keys) - set(mine) - alias
+    extra = set(mine) - set(torch_keys)
+    assert not missing, f"missing: {sorted(missing)[:8]}"
+    assert not extra, f"extra: {sorted(extra)[:8]}"
+    for k, s in mine.items():
+        assert torch_keys[k] == s, (k, torch_keys[k], s)
+
+
+def test_sequence_loss_matches_reference_semantics():
+    rng = np.random.RandomState(0)
+    preds = jnp.asarray(rng.randn(3, 2, 8, 10, 2).astype(np.float32))
+    gt = jnp.asarray(rng.randn(2, 8, 10, 2).astype(np.float32))
+    valid = jnp.asarray((rng.rand(2, 8, 10) > 0.3).astype(np.float32))
+    loss, metrics = sequence_loss(preds, gt, valid, gamma=0.8)
+
+    # numpy oracle of RAFT/train.py:47-72
+    p, g, v = map(np.asarray, (preds, gt, valid))
+    mag = np.sqrt((g ** 2).sum(-1))
+    vm = (v >= 0.5) & (mag < 400)
+    ref_loss = 0.0
+    for i in range(3):
+        w = 0.8 ** (3 - i - 1)
+        ref_loss += w * (vm[..., None] * np.abs(p[i] - g)).mean()
+    epe = np.sqrt(((p[-1] - g) ** 2).sum(-1))[vm]
+    np.testing.assert_allclose(float(loss), ref_loss, rtol=1e-6)
+    np.testing.assert_allclose(float(metrics["epe"]), epe.mean(), rtol=1e-5)
+    np.testing.assert_allclose(float(metrics["1px"]), (epe < 1).mean(),
+                               rtol=1e-5)
+
+
+def test_onecycle_schedule_shape():
+    sched = onecycle_linear_schedule(1e-4, 1000, pct_start=0.05)
+    assert float(sched(0)) == pytest.approx(1e-4 / 25, rel=1e-4)
+    assert float(sched(50)) == pytest.approx(1e-4, rel=1e-3)
+    assert float(sched(1000)) == pytest.approx(1e-4 / 25 / 1e4, rel=1e-2)
+    # monotone up then down
+    assert float(sched(25)) < float(sched(50))
+    assert float(sched(500)) < float(sched(50))
+
+
+def test_train_step_improves_loss():
+    """One small RAFT, random data: a few steps must reduce the loss."""
+    from mpiflow_tpu.cli.train_raft import init_random_params
+    cfg = TrainConfig(lr=1e-3, num_steps=50, iters=2, batch_size=2,
+                      image_size=(64, 96))
+    model_cfg = RAFTConfig.small_config()
+    params = {k: jnp.asarray(v)
+              for k, v in init_random_params(small=True, seed=0).items()}
+    tx, _ = make_optimizer(cfg)
+    step = make_train_step(cfg, model_cfg, tx, donate=False)
+    opt_state = tx.init(params)
+
+    rng = np.random.RandomState(0)
+    img1 = jnp.asarray(rng.rand(2, 64, 96, 3).astype(np.float32) * 255)
+    img2 = jnp.asarray(rng.rand(2, 64, 96, 3).astype(np.float32) * 255)
+    flow = jnp.asarray(rng.randn(2, 64, 96, 2).astype(np.float32))
+    valid = jnp.ones((2, 64, 96), jnp.float32)
+
+    losses = []
+    for _ in range(8):
+        params, opt_state, metrics = step(params, opt_state, img1, img2,
+                                          flow, valid)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0], losses
+    assert np.isfinite(losses).all()
+
+
+def test_dp_train_step_on_mesh():
+    """The full training step jits and runs sharded over the 8-device mesh
+    (the multi-chip path the driver dry-runs)."""
+    from mpiflow_tpu.cli.train_raft import init_random_params
+    from mpiflow_tpu.parallel.mesh import make_mesh, shard_batch
+    mesh = make_mesh()
+    n = mesh.devices.size
+    assert n == 8
+
+    cfg = TrainConfig(lr=1e-4, num_steps=10, iters=2, batch_size=n,
+                      image_size=(64, 96))
+    model_cfg = RAFTConfig.small_config()
+    params = {k: jnp.asarray(v)
+              for k, v in init_random_params(small=True, seed=0).items()}
+    tx, _ = make_optimizer(cfg)
+    step = make_train_step(cfg, model_cfg, tx, donate=False)
+    opt_state = tx.init(params)
+
+    rng = np.random.RandomState(0)
+    batch = (rng.rand(n, 64, 96, 3).astype(np.float32) * 255,
+             rng.rand(n, 64, 96, 3).astype(np.float32) * 255,
+             rng.randn(n, 64, 96, 2).astype(np.float32),
+             np.ones((n, 64, 96), np.float32))
+    with mesh:
+        sharded = tuple(shard_batch(mesh, b) for b in batch)
+        params2, opt_state, metrics = step(params, opt_state, *sharded)
+    assert np.isfinite(float(metrics["loss"]))
+    # params must have actually changed
+    diff = sum(float(jnp.abs(params2[k] - params[k]).sum()) for k in params)
+    assert diff > 0

@@ -1,0 +1,151 @@
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mpiflow_tpu.warpback.renderer import rgbd_render, visible_mask
+from mpiflow_tpu.warpback.datasets import (
+    WarpbackStage1, WarpbackStage2, rand_range_tensor, K_NORM,
+)
+
+
+def _toy_rgbd(h=64, w=96):
+    rng = np.random.RandomState(0)
+    rgb = rng.rand(3, h, w).astype(np.float32)
+    # smooth fronto-parallel-ish disparity with a near blob
+    disp = np.full((h, w), 0.3, np.float32)
+    disp[20:40, 30:60] = 0.7
+    return jnp.asarray(rgb), jnp.asarray(disp)
+
+
+def test_identity_pose_reconstructs_image():
+    rgb, disp = _toy_rgbd()
+    ext = jnp.eye(4)
+    render, out_disp, mask = rgbd_render(rgb, disp, jnp.asarray(K_NORM), ext)
+    inside = np.asarray(mask) > 0.5
+    assert inside.mean() > 0.9
+    err = np.abs(np.asarray(render) - np.asarray(rgb))[:, inside]
+    assert err.mean() < 0.02
+    derr = np.abs(np.asarray(out_disp) - np.asarray(disp))[inside]
+    assert derr.mean() < 0.01
+
+
+def test_translation_creates_holes_and_parallax():
+    rgb, disp = _toy_rgbd()
+    ext = jnp.eye(4).at[0, 3].set(0.2)
+    render, out_disp, mask = rgbd_render(rgb, disp, jnp.asarray(K_NORM), ext)
+    m = np.asarray(mask)
+    assert 0.3 < (m > 0.5).mean() < 1.0
+    # disocclusion holes must appear next to the near blob
+    assert (m[20:40, :] < 0.5).any()
+
+
+def test_visible_mask_marks_depth_edges():
+    _, disp = _toy_rgbd()
+    vis = np.asarray(visible_mask(disp))
+    # edges of the blob masked out, interior visible
+    assert vis[30, 45] == 1.0
+    assert vis[5, 5] == 1.0
+    edge_band = vis[19:22, 30:60]
+    assert edge_band.min() == 0.0
+
+
+def test_rand_range_tensor_distribution():
+    rng = np.random.RandomState(0)
+    vals = np.array([rand_range_tensor(rng, 0.2) for _ in range(500)])
+    a = np.abs(vals)
+    assert (a >= 0.1 - 1e-9).all() and (a <= 0.2 + 1e-9).all()
+    assert (vals > 0).any() and (vals < 0).any()
+    assert rand_range_tensor(rng, -1) == 0.0
+
+
+def _make_warpback_dir(tmp_path, n=2, h=48, w=64):
+    from PIL import Image
+    rng = np.random.RandomState(1)
+    os.makedirs(tmp_path / "dpt_depth", exist_ok=True)
+    for i in range(n):
+        img = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+        disp16 = (rng.rand(h, w) * 0.5 * (2 ** 16 - 1)).astype(np.uint16)
+        Image.fromarray(img).save(tmp_path / f"{i:03d}.jpg")
+        Image.fromarray(disp16).save(tmp_path / "dpt_depth" / f"{i:03d}.png")
+
+
+def test_stage1_dataset(tmp_path):
+    _make_warpback_dir(tmp_path)
+    ds = WarpbackStage1(str(tmp_path), width=64, height=48, seed=0)
+    assert len(ds) == 2
+    item = ds[0]
+    assert item["rgb"].shape == (3, 48, 64)
+    assert item["mask"].shape == (48, 64)
+    assert set(np.unique(item["mask"] > 0.5)) <= {False, True}
+    assert np.isfinite(item["warp_back_disp"]).all()
+
+
+def test_stage2_dataset_diffusion_fallback(tmp_path):
+    _make_warpback_dir(tmp_path, n=1)
+    ds = WarpbackStage2(str(tmp_path), ec_params=None, width=64, height=48,
+                        seed=0)
+    item = ds[0]
+    assert item["src_rgb"].shape == (3, 48, 64)
+    assert np.isfinite(item["src_rgb"]).all()
+    assert np.isfinite(item["src_disp"]).all()
+    assert item["cam_ext"].shape == (4, 4)
+
+
+def test_edgeconnect_random_weights_forward():
+    """EdgeConnect nets run and produce sane ranges with random weights."""
+    from mpiflow_tpu.models.edgeconnect import (edge_generator,
+                                                inpaint_generator)
+    rng = np.random.RandomState(0)
+
+    def conv(cin, cout, k):
+        return (rng.randn(k, k, cin, cout) * 0.05).astype(np.float32)
+
+    def trunk(cin, cout):
+        p = {}
+        p["encoder.1.weight"] = conv(cin, 64, 7)
+        p["encoder.1.bias"] = np.zeros(64, np.float32)
+        p["encoder.4.weight"] = conv(64, 128, 4)
+        p["encoder.4.bias"] = np.zeros(128, np.float32)
+        p["encoder.7.weight"] = conv(128, 256, 4)
+        p["encoder.7.bias"] = np.zeros(256, np.float32)
+        for i in range(8):
+            p[f"middle.{i}.conv_block.1.weight"] = conv(256, 256, 3)
+            p[f"middle.{i}.conv_block.5.weight"] = conv(256, 256, 3)
+        # conv-transpose weights stored HWOI
+        p["decoder.0.weight"] = (rng.randn(4, 4, 128, 256) * 0.05
+                                 ).astype(np.float32)
+        p["decoder.0.bias"] = np.zeros(128, np.float32)
+        p["decoder.3.weight"] = (rng.randn(4, 4, 64, 128) * 0.05
+                                 ).astype(np.float32)
+        p["decoder.3.bias"] = np.zeros(64, np.float32)
+        p["decoder.7.weight"] = conv(64, cout, 7)
+        p["decoder.7.bias"] = np.zeros(cout, np.float32)
+        return {k: jnp.asarray(v) for k, v in p.items()}
+
+    x = jnp.asarray(rng.rand(1, 32, 32, 4).astype(np.float32))
+    out = inpaint_generator(trunk(4, 3), x)
+    assert out.shape == (1, 32, 32, 3)
+    assert float(out.min()) >= 0 and float(out.max()) <= 1
+    e = edge_generator(trunk(3, 1), x[..., :3])
+    assert e.shape == (1, 32, 32, 1)
+    assert float(e.min()) >= 0 and float(e.max()) <= 1
+
+
+def test_spectral_norm_materialization():
+    """convert_state_dict computes W/sigma from weight_orig + weight_u."""
+    import torch
+    import torch.nn as nn
+    from mpiflow_tpu.models.torch_convert import convert_state_dict
+    torch.manual_seed(0)
+    conv = nn.utils.spectral_norm(nn.Conv2d(3, 8, 3))
+    conv.eval()
+    with torch.no_grad():
+        _ = conv(torch.randn(1, 3, 8, 8))  # settle u
+        w_eff = conv.weight.clone()        # torch's effective weight
+    sd = {k: v for k, v in conv.state_dict().items()}
+    out = convert_state_dict(sd)
+    np.testing.assert_allclose(out["weight"],
+                               w_eff.numpy().transpose(2, 3, 1, 0),
+                               rtol=1e-4, atol=1e-6)
