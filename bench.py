@@ -24,7 +24,7 @@ import time
 import numpy as np
 
 H, W, S, REPEAT = 384, 1280, 64, 5
-RENDER_MODE = os.environ.get("MPIFLOW_RENDER_MODE", "batched")
+RENDER_MODE = os.environ.get("MPIFLOW_RENDER_MODE", "scan")
 N_WARMUP, N_ITERS = 1, 4
 
 

@@ -1,0 +1,180 @@
+"""Online RAFT training: generate MPI-Flow pairs ON DEVICE and train on them
+directly, no dataset written to disk.
+
+The reference's "online training" results (README.md:74-86: 32k/320k steps on
+COCO images, single V100) write the dataset first and read it back; here
+generation and training interleave on the same chip and samples flow through
+a host ring buffer -- the TPU-native equivalent with zero filesystem traffic.
+
+  python -m mpiflow_tpu.cli.train_online --base data/coco --name raft-online \
+      --num_steps 32000 --batch_size 6 --image_size 288 960 \
+      --gen_every 4 --buffer 2000
+"""
+from __future__ import annotations
+
+import argparse
+import itertools
+import logging
+
+
+def build_parser():
+    from mpiflow_tpu.cli.generate import build_parser as gen_parser
+    p = argparse.ArgumentParser()
+    # generation side (reference gen flags)
+    p.add_argument("--base", required=True)
+    p.add_argument("--width", type=int, default=1280)
+    p.add_argument("--height", type=int, default=384)
+    p.add_argument("--seed", type=int, default=114514)
+    p.add_argument("--ext_cz", type=float, default=0.15)
+    p.add_argument("--repeat", type=int, default=5)
+    p.add_argument("--flavor", choices=["kitti_v2", "coco", "legacy"],
+                   default="coco")
+    p.add_argument("--planes", type=int, default=64)
+    p.add_argument("--ckpt_path", default="adampiweight/adampi_64p.pth")
+    p.add_argument("--predictor", choices=["adampi", "geometric"],
+                   default="adampi")
+    # training side (reference train flags)
+    p.add_argument("--name", default="raft-online")
+    p.add_argument("--restore_ckpt", default=None)
+    p.add_argument("--small", action="store_true")
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--num_steps", type=int, default=32000)
+    p.add_argument("--batch_size", type=int, default=6)
+    p.add_argument("--image_size", type=int, nargs="+", default=[288, 960])
+    p.add_argument("--iters", type=int, default=12)
+    p.add_argument("--wdecay", type=float, default=1e-5)
+    p.add_argument("--gamma", type=float, default=0.85)
+    p.add_argument("--checkpoint_dir", default="checkpoints")
+    # online plumbing
+    p.add_argument("--buffer", type=int, default=1000,
+                   help="ring-buffer capacity (samples)")
+    p.add_argument("--gen_every", type=int, default=4,
+                   help="generate one image's samples every N train steps")
+    p.add_argument("--warmup_images", type=int, default=4)
+    return p
+
+
+def main(argv=None) -> int:
+    logging.basicConfig(level=logging.INFO)
+    args = build_parser().parse_args(argv)
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    jax.config.update("jax_compilation_cache_dir",
+                      f"/tmp/mpiflow_jax_cache_{jax.default_backend()}")
+
+    from mpiflow_tpu.config import (GenConfig, PoseConfig, RenderConfig,
+                                    RAFTConfig, TrainConfig)
+    from mpiflow_tpu.data.datasets import InMemoryFlowPairs, make_train_iterator
+    from mpiflow_tpu.pipeline.generator import DatasetGenerator
+    from mpiflow_tpu.train.raft_train import Trainer
+    from mpiflow_tpu.cli.train_raft import init_random_params
+    import os
+
+    gen_cfg = GenConfig(
+        width=args.width, height=args.height, seed=args.seed,
+        repeat=args.repeat,
+        pose=PoseConfig(flavor=args.flavor, ext_cz=args.ext_cz),
+        render=RenderConfig(num_planes=args.planes), rng_mode="jax")
+
+    mpi_fn = None
+    if args.predictor == "adampi":
+        try:
+            from mpiflow_tpu.models.adampi import load_adampi_predictor
+            mpi_fn = load_adampi_predictor(args.ckpt_path, args.width,
+                                           args.height)
+        except (ImportError, FileNotFoundError) as e:
+            logging.warning("AdaMPI unavailable (%s); geometric MPI", e)
+    gen = DatasetGenerator(gen_cfg, mpi_predict_fn=mpi_fn)
+
+    # image cycle
+    img_base = os.path.join(args.base, "images")
+    names = sorted(os.listdir(img_base))
+    name_cycle = itertools.cycle(enumerate(names))
+
+    aug = {"crop_size": tuple(args.image_size), "min_scale": -0.2,
+           "max_scale": 0.4, "do_flip": False}
+    buffer = InMemoryFlowPairs(args.buffer, aug_params=aug, seed=args.seed)
+
+    sampler = None
+    root_key = jax.random.PRNGKey(gen_cfg.seed)
+
+    def generate_one():
+        """Render one source image's `repeat` samples into the buffer."""
+        for _ in range(len(names)):
+            img_i, fname = next(name_cycle)
+            name = fname.split(".")[0]
+            try:
+                pending = gen._dispatch_one(
+                    img_i, fname, name, img_base,
+                    os.path.join(args.base, "disps"),
+                    os.path.join(args.base, "masks"),
+                    sampler, root_key, set(), {"skipped": 0})
+            except Exception as e:
+                logging.warning("gen skip %s: %s", fname, e)
+                continue
+            if pending is None:
+                continue
+            keys, _, out = pending
+            out = jax.tree_util.tree_map(np.asarray, out)
+            for r in range(len(keys)):
+                buffer.add(out.src_u8[r], out.dst_u8[r], out.flow[r])
+            return True
+        return False
+
+    logging.info("warming buffer with %d images", args.warmup_images)
+    for _ in range(args.warmup_images):
+        generate_one()
+    logging.info("buffer: %d samples", len(buffer))
+
+    train_cfg = TrainConfig(
+        name=args.name, stage="online", restore_ckpt=args.restore_ckpt,
+        lr=args.lr, num_steps=args.num_steps, batch_size=args.batch_size,
+        image_size=tuple(args.image_size), iters=args.iters,
+        wdecay=args.wdecay, gamma=args.gamma, seed=args.seed)
+    model_cfg = RAFTConfig.small_config() if args.small else RAFTConfig()
+    trainer = Trainer(train_cfg, model_cfg)
+
+    if args.restore_ckpt:
+        from mpiflow_tpu.models.torch_convert import (load_torch_checkpoint,
+                                                      convert_state_dict)
+        if args.restore_ckpt.endswith(".npz"):
+            params, _ = Trainer.load_params(args.restore_ckpt)
+        else:
+            ckpt = load_torch_checkpoint(args.restore_ckpt)
+            params = convert_state_dict(ckpt.get("weight", ckpt))
+    else:
+        params = init_random_params(args.small, args.seed)
+    state = trainer.init_state(params)
+
+    data_iter = make_train_iterator(buffer, args.batch_size, seed=args.seed,
+                                    num_threads=2)
+    running = {}
+    import time
+    t0 = time.time()
+    for step in range(args.num_steps):
+        if step % args.gen_every == 0:
+            generate_one()
+        batch = trainer.shard_batch(next(data_iter))
+        state.params, state.opt_state, metrics = trainer.step_fn(
+            state.params, state.opt_state, *batch)
+        state.step += 1
+        for k, v in metrics.items():
+            running[k] = running.get(k, 0.0) + float(v)
+        if state.step % 100 == 0:
+            msg = ", ".join(f"{k}={running[k] / 100:.4f}"
+                            for k in sorted(running))
+            logging.info("[%6d] %s buffer=%d (%.2f steps/s)", state.step,
+                         msg, len(buffer), 100 / (time.time() - t0))
+            running = {}
+            t0 = time.time()
+        if state.step % train_cfg.val_freq == 0:
+            trainer.save(state, args.checkpoint_dir)
+    trainer.save(state, args.checkpoint_dir, final=True)
+    data_iter.close()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

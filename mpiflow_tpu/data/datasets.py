@@ -190,6 +190,50 @@ class FlyingChairsPairs(FlowPairDataset):
                 self.image_list.append((images[2 * i], images[2 * i + 1]))
 
 
+class InMemoryFlowPairs(FlowPairDataset):
+    """Ring buffer of generated samples for online training (no disk)."""
+
+    def __init__(self, capacity: int, aug_params=None, seed=None):
+        super().__init__(aug_params, sparse=False, seed=seed)
+        self.capacity = capacity
+        self._img1: List[np.ndarray] = []
+        self._img2: List[np.ndarray] = []
+        self._flow: List[np.ndarray] = []
+        self._cursor = 0
+        import threading
+        self._lock = threading.Lock()
+
+    def add(self, img1_u8: np.ndarray, img2_u8: np.ndarray,
+            flow: np.ndarray) -> None:
+        with self._lock:
+            if len(self._img1) < self.capacity:
+                self._img1.append(img1_u8)
+                self._img2.append(img2_u8)
+                self._flow.append(flow)
+            else:
+                i = self._cursor % self.capacity
+                self._img1[i] = img1_u8
+                self._img2[i] = img2_u8
+                self._flow[i] = flow
+                self._cursor += 1
+
+    def __len__(self):
+        with self._lock:
+            return len(self._img1)
+
+    def __getitem__(self, index: int):
+        with self._lock:
+            n = len(self._img1)
+            i = index % n
+            img1, img2 = self._img1[i].copy(), self._img2[i].copy()
+            flow = self._flow[i].copy()
+        if self.augmentor is not None:
+            img1, img2, flow = self.augmentor(img1, img2, flow)
+        valid = ((np.abs(flow[..., 0]) < 1000)
+                 & (np.abs(flow[..., 1]) < 1000))
+        return img1, img2, flow.astype(np.float32), valid.astype(np.float32)
+
+
 def fetch_dataset(stage: str, data_root: str, crop_size,
                   seed: Optional[int] = None) -> FlowPairDataset:
     """Stage -> dataset with the reference aug params

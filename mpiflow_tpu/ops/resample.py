@@ -68,6 +68,70 @@ def resize_bilinear_align_corners(img: jnp.ndarray, out_h: int, out_w: int) -> j
     return bilinear_sample_border(img, coords)
 
 
+def blocked_source(img: jnp.ndarray) -> jnp.ndarray:
+    """Re-layout [C,H,W] into 2x2-stride blocks with a 1-px halo:
+    blocked[yb*Wb+xb, (dy*3+dx)*C+c] = img[c, 2yb+dy, 2xb+dx].
+
+    Any bilinear 2x2 tap window (y0, x0) with y0<=H-2, x0<=W-2 lies inside
+    block (y0//2, x0//2), so `bilinear_sample_blocked` needs ONE gathered
+    row per sample instead of four -- XLA TPU gathers are index-rate bound,
+    so this is ~4x faster at 2.25x memory. Built with strided slices only.
+    """
+    C, H, W = img.shape
+    Hb, Wb = (H + 1) // 2, (W + 1) // 2
+    pad = jnp.pad(img, ((0, 0), (0, 2 * Hb + 1 - H), (0, 2 * Wb + 1 - W)),
+                  mode="edge")
+    taps = [pad[:, dy:dy + 2 * Hb:2, dx:dx + 2 * Wb:2]
+            for dy in range(3) for dx in range(3)]          # 9 x [C,Hb,Wb]
+    blocked = jnp.stack(taps, axis=0)                       # [9,C,Hb,Wb]
+    return blocked.reshape(9 * C, Hb * Wb).T                # [Hb*Wb, 9*C]
+
+
+def bilinear_sample_blocked(blocked: jnp.ndarray, num_channels: int,
+                            H: int, W: int,
+                            coords: jnp.ndarray) -> jnp.ndarray:
+    """Border-clamped bilinear sampling from a `blocked_source` layout.
+
+    Bit-identical to `bilinear_sample_border` (same tap/weight math), with
+    one gather instead of four. coords [...,2] -> [C, ...].
+    """
+    C = num_channels
+    Wb = (W + 1) // 2
+    out_shape = coords.shape[:-1]
+    x = jnp.clip(coords[..., 0].reshape(-1), 0.0, W - 1.0)
+    y = jnp.clip(coords[..., 1].reshape(-1), 0.0, H - 1.0)
+    # shifted-base taps: y0 <= H-2 with fy in [0,1] handles the border rows
+    # with exactly the same interpolated values as clamp-tap logic
+    x0 = jnp.minimum(jnp.floor(x), W - 2.0)
+    y0 = jnp.minimum(jnp.floor(y), H - 2.0)
+    fx = x - x0
+    fy = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    idx = (y0i >> 1) * Wb + (x0i >> 1)
+    rows = jnp.take(blocked, idx, axis=0)                   # [N, 9*C]
+    p = rows.reshape(-1, 3, 3, C)
+    oy = (y0i & 1)[:, None]
+    ox = (x0i & 1)[:, None]
+
+    def tap(dy, dx):
+        # select patch element (oy+dy, ox+dx) via parity masks
+        v00 = p[:, dy, dx]
+        v01 = p[:, dy, dx + 1]
+        v10 = p[:, dy + 1, dx]
+        v11 = p[:, dy + 1, dx + 1]
+        return jnp.where(oy == 0, jnp.where(ox == 0, v00, v01),
+                         jnp.where(ox == 0, v10, v11))
+
+    w00 = ((1 - fy) * (1 - fx))[:, None]
+    w01 = ((1 - fy) * fx)[:, None]
+    w10 = (fy * (1 - fx))[:, None]
+    w11 = (fy * fx)[:, None]
+    out = tap(0, 0) * w00 + tap(0, 1) * w01 + tap(1, 0) * w10 + tap(1, 1) * w11
+    return out.T.reshape((C,) + out_shape)
+
+
 def resize_bilinear(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     """Resize [C,H,W], torch bilinear align_corners=False (half-pixel centers
     with border clamping; F.interpolate's default)."""

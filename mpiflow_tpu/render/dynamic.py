@@ -82,7 +82,7 @@ def render_dynamic_sample(mpi_rgb: jnp.ndarray,
                           hard_flow: bool = False,
                           inpaint_iters: int = 128,
                           inpaint_on_device: bool = True,
-                          mode: str = "batched") -> DynamicSample:
+                          mode: str = "scan") -> DynamicSample:
     """Full dynamic-object sample generation (render_3dphoto_dynamic).
 
     Args:

@@ -179,14 +179,29 @@ def render_novel_view(mpi_rgb: jnp.ndarray,
 
     if mode == "batched":
         return _render_batched(
-            mpi_rgb, mpi_sigma, dist_src_all, H_ts, H_st, depths, Rrays, t,
-            grid_flat, obj, has_src, src, flow_clip, cumprod_eps, far_cap,
-            depth_eps, hard_flow)
+            mpi_rgb, mpi_sigma, dist_src_all, H_ts, H_st, depths, R, t,
+            K_src_inv, grid_flat, obj, has_src, src, flow_clip, cumprod_eps,
+            far_cap, depth_eps, hard_flow)
 
     zeros_hw = jnp.zeros((H, W), dtype)
 
+    K_inv = intrinsics_inverse(K_src)
+
+    def warped_xyz_analytic(coords, depth_s):
+        """Warped xyz_tgt WITHOUT a gather: xyz_tgt is linear in source
+        pixel coords, and border-clamped bilinear sampling of a linear
+        function equals evaluating it at the clamped sample coordinate, so
+        warp(xyz_tgt)(p) = R K^-1 (x_c, y_c, 1) d_s + t exactly."""
+        xc = jnp.clip(coords[0], 0.0, W - 1.0)
+        yc = jnp.clip(coords[1], 0.0, H - 1.0)
+        v = jnp.stack([xc.ravel(), yc.ravel(), jnp.ones(H * W, dtype)])
+        xyz = jnp.matmul(R, jnp.matmul(K_inv, v, precision=_HI),
+                         precision=_HI) * depth_s + t[:, None]
+        return xyz.reshape(3, H, W)
+
     def warp_plane(s_idx, H_ts_s, H_st_s, depth_s, blend_w):
-        """Gather one plane's 8-channel stack into the target frame.
+        """Gather one plane's 5-channel stack into the target frame; the
+        xyz channels are reconstructed analytically (see above).
 
         blend_w is the source visibility T_src_acc at this plane: the plane
         rgb is blended with the original image in the SOURCE frame before
@@ -196,14 +211,21 @@ def render_novel_view(mpi_rgb: jnp.ndarray,
         coords = (src_homo[0:2] / src_homo[2:3]).reshape(2, H, W)
         valid = ((coords[0] < W) & (coords[0] > -1)
                  & (coords[1] < H) & (coords[1] > -1)).astype(dtype)
-        xyz_tgt = (Rrays * depth_s + t[:, None]).reshape(3, H, W)
         rgb_s = mpi_rgb[s_idx]
         if has_src:
             rgb_s = blend_w[None] * src + (1.0 - blend_w[None]) * rgb_s
         sigma_s = mpi_sigma[s_idx, 0]
         stack = jnp.concatenate(
-            [rgb_s, sigma_s[None], xyz_tgt, obj[None]], axis=0)   # [8,H,W]
-        warped = bilinear_sample_border(stack, coords.transpose(1, 2, 0))
+            [rgb_s, sigma_s[None], obj[None]], axis=0)            # [5,H,W]
+        # blocked layout: ONE gathered row per pixel instead of four (XLA
+        # TPU gathers are index-rate bound; see ops/resample.py)
+        from mpiflow_tpu.ops.resample import (blocked_source,
+                                              bilinear_sample_blocked)
+        warped5 = bilinear_sample_blocked(blocked_source(stack), 5, H, W,
+                                          coords.transpose(1, 2, 0))
+        xyz_w = warped_xyz_analytic(coords, depth_s)
+        warped = jnp.concatenate(
+            [warped5[0:4], xyz_w, warped5[4:5]], axis=0)          # [8,H,W]
         # flowA2B_s: source grid through H_tgt_src minus grid
         tgt_homo = jnp.matmul(H_ts_s, grid_flat, precision=_HI)
         flow_s = ((tgt_homo[0:2] / tgt_homo[2:3]) - grid_flat[0:2]
@@ -299,7 +321,7 @@ def render_novel_view(mpi_rgb: jnp.ndarray,
 
 
 def _render_batched(mpi_rgb, mpi_sigma, dist_src_all, H_ts, H_st, depths,
-                    Rrays, t, grid_flat, obj, has_src, src, flow_clip,
+                    R, t, K_inv, grid_flat, obj, has_src, src, flow_clip,
                     cumprod_eps, far_cap, depth_eps, hard_flow) -> NovelView:
     """Plane-parallel variant of render_novel_view (see `mode`)."""
     S, _, H, W = mpi_rgb.shape
@@ -323,21 +345,27 @@ def _render_batched(mpi_rgb, mpi_sigma, dist_src_all, H_ts, H_st, depths,
     flow_all = ((tgt_homo[:, 0:2] / tgt_homo[:, 2:3])
                 - grid_flat[None, 0:2]).reshape(S, 2, H, W)
 
-    xyz_tgt = (Rrays[None] * depths[:, None, None]
-               + t[None, :, None]).reshape(S, 3, H, W)
     rgb = mpi_rgb
     if has_src:
         rgb = T_src_acc[:, None] * src[None] + (1 - T_src_acc[:, None]) * rgb
     stack = jnp.concatenate(
-        [rgb, mpi_sigma, xyz_tgt,
+        [rgb, mpi_sigma,
          jnp.broadcast_to(obj[None, None], (S, 1, H, W))], axis=1)
 
-    warped = jax.vmap(bilinear_sample_border)(
-        stack, coords.transpose(0, 2, 3, 1))                    # [S,8,H,W]
-    sigma_w = jnp.where(warped[:, 6] >= 0, warped[:, 3], 0.0)   # z>=0 mask
+    warped5 = jax.vmap(bilinear_sample_border)(
+        stack, coords.transpose(0, 2, 3, 1))                    # [S,5,H,W]
 
-    # target-frame distances between consecutive warped xyz
-    xyz_w = warped[:, 4:7]
+    # warped xyz reconstructed analytically (linear in source coords; see
+    # warped_xyz_analytic in render_novel_view)
+    xc = jnp.clip(coords[:, 0], 0.0, W - 1.0).reshape(S, -1)
+    yc = jnp.clip(coords[:, 1], 0.0, H - 1.0).reshape(S, -1)
+    v = jnp.stack([xc, yc, jnp.ones_like(xc)], axis=1)          # [S,3,HW]
+    RKinv = jnp.matmul(R, K_inv, precision=_HI)
+    xyz_w = (jnp.matmul(RKinv[None], v, precision=_HI)
+             * depths[:, None, None] + t[None, :, None]).reshape(S, 3, H, W)
+    warped = jnp.concatenate(
+        [warped5[:, 0:4], xyz_w, warped5[:, 4:5]], axis=1)      # [S,8,H,W]
+    sigma_w = jnp.where(warped[:, 6] >= 0, warped[:, 3], 0.0)   # z>=0 mask
     d = jnp.linalg.norm(xyz_w[1:] - xyz_w[:-1], axis=1)
     d = jnp.concatenate([d, jnp.full((1, H, W), far_cap, dtype)], axis=0)
     T_tgt = jnp.exp(-sigma_w * d)
