@@ -24,7 +24,7 @@ import time
 import numpy as np
 
 H, W, S, REPEAT = 384, 1280, 64, 5
-RENDER_MODE = os.environ.get("MPIFLOW_RENDER_MODE", "scan")
+RENDER_MODE = os.environ.get("MPIFLOW_RENDER_MODE", "preblocked")
 N_WARMUP, N_ITERS = 1, 4
 
 
@@ -73,7 +73,7 @@ def bench_fused():
                                          img, mask, Go, Gc, K, K,
                                          inpaint_iters=128,
                                          mode=RENDER_MODE)
-        return jax.vmap(one)(G_obj, G_cam)
+        return jax.lax.map(lambda a: one(*a), (G_obj, G_cam))
 
     args = (img, disp, mask, jnp.asarray(G_obj), jnp.asarray(G_cam))
     for _ in range(N_WARMUP):

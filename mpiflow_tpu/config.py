@@ -53,7 +53,7 @@ class RenderConfig:
     hard_flow: bool = False
     # Renderer execution strategy: "scan" (O(H*W) memory, serial planes) or
     # "batched" (plane-parallel gathers, materializes the warped stack).
-    mode: str = "scan"
+    mode: str = "preblocked"
     # Compositing dtype. The reference runs fp16 end-to-end on GPU; we run
     # fp32 (TPU bf16 is too coarse for pixel-accurate flow).
     dtype: str = "float32"

@@ -190,6 +190,52 @@ class FlyingChairsPairs(FlowPairDataset):
                 self.image_list.append((images[2 * i], images[2 * i + 1]))
 
 
+class HD1KPairs(FlowPairDataset):
+    """HD1K sparse flow (RAFT/core/datasets.py:180-196)."""
+
+    def __init__(self, root: str, aug_params=None, seed=None):
+        super().__init__(aug_params, sparse=True, seed=seed)
+        seq = 0
+        while True:
+            flows = sorted(glob.glob(os.path.join(
+                root, "hd1k_flow_gt", "flow_occ", f"{seq:06d}_*.png")))
+            images = sorted(glob.glob(os.path.join(
+                root, "hd1k_input", "image_2", f"{seq:06d}_*.png")))
+            if not flows:
+                break
+            for i in range(len(flows) - 1):
+                self.flow_list.append(flows[i])
+                self.image_list.append((images[i], images[i + 1]))
+            seq += 1
+
+
+class FlyingThingsPairs(FlowPairDataset):
+    """FlyingThings3D (RAFT/core/datasets.py:137-158)."""
+
+    def __init__(self, root: str, dstype: str = "frames_cleanpass",
+                 aug_params=None, seed=None):
+        super().__init__(aug_params, sparse=False, seed=seed)
+        for cam in ("left",):
+            for direction in ("into_future", "into_past"):
+                image_dirs = sorted(glob.glob(os.path.join(root, dstype,
+                                                           "TRAIN/*/*")))
+                image_dirs = sorted(os.path.join(f, cam) for f in image_dirs)
+                flow_dirs = sorted(glob.glob(os.path.join(
+                    root, "optical_flow/TRAIN/*/*")))
+                flow_dirs = sorted(os.path.join(f, direction, cam)
+                                   for f in flow_dirs)
+                for idir, fdir in zip(image_dirs, flow_dirs):
+                    images = sorted(glob.glob(os.path.join(idir, "*.png")))
+                    flows = sorted(glob.glob(os.path.join(fdir, "*.pfm")))
+                    for i in range(len(flows) - 1):
+                        if direction == "into_future":
+                            self.image_list.append((images[i], images[i + 1]))
+                            self.flow_list.append(flows[i])
+                        else:
+                            self.image_list.append((images[i + 1], images[i]))
+                            self.flow_list.append(flows[i + 1])
+
+
 class InMemoryFlowPairs(FlowPairDataset):
     """Ring buffer of generated samples for online training (no disk)."""
 

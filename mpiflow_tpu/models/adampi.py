@@ -82,37 +82,53 @@ def resnet_encoder(params: Dict, rgb: jnp.ndarray, disp: jnp.ndarray,
 
 # ----------------------------------------------------------- CPN unet (FMN)
 def feat_mask_network(params: Dict, rgb: jnp.ndarray, disp: jnp.ndarray,
-                      disparities: jnp.ndarray,
-                      prefix: str = "fmn.") -> jnp.ndarray:
+                      disparities: jnp.ndarray, prefix: str = "fmn.",
+                      plane_chunk: int = 0) -> jnp.ndarray:
     """FeatMaskNetwork (model/CPN/unet.py:18-69): per-plane 5-channel UNet,
     softmax over planes. rgb [1,H,W,3], disp [1,H,W,1], disparities [S].
-    Returns feature_mask [S,H,W]."""
+    Returns feature_mask [S,H,W].
+
+    This is the pipeline's biggest activation (the reference tiles the full-
+    res input x S before conv, SURVEY §3.2); planes are INDEPENDENT until the
+    final softmax, so `plane_chunk` > 0 processes them in chunks via lax.map
+    (memory scales with chunk instead of S; 64-plane KITTI-res fits 16GB)."""
     p = P(params, prefix)
     S = disparities.shape[0]
     _, H, W, _ = rgb.shape
     rgbd = jnp.concatenate([rgb, disp], axis=-1)                  # [1,H,W,4]
-    x = jnp.broadcast_to(rgbd, (S, H, W, 4))
-    dchan = jnp.broadcast_to(disparities[:, None, None, None], (S, H, W, 1))
-    x = jnp.concatenate([x, dchan], axis=-1)                      # [S,H,W,5]
 
     def cbr(x, i, stride=1):
         return conv_bn_act(x, p, f"conv{i}.layer.0", f"conv{i}.layer.1",
                            relu, stride=stride, padding=1)
 
-    c1 = cbr(x, 1)
-    c2 = cbr(c1, 2, stride=2)
-    c3 = cbr(c2, 3, stride=2)
-    c4 = cbr(c3, 4, stride=2)
-    c5 = cbr(c4, 5)
-    u5 = upsample_bilinear_align_corners(c5, c3.shape[1], c3.shape[2])
-    c6 = cbr(jnp.concatenate([u5, c3], -1), 6)
-    u6 = upsample_bilinear_align_corners(c6, c2.shape[1], c2.shape[2])
-    c7 = cbr(jnp.concatenate([u6, c2], -1), 7)
-    u7 = upsample_bilinear_align_corners(c7, c1.shape[1], c1.shape[2])
-    c8 = cbr(jnp.concatenate([u7, c1], -1), 8)
-    c9 = cbr(c8, 9)                                               # [S,H,W,1]
-    fm = jax.nn.softmax(c9[..., 0], axis=0)                       # over planes
-    return fm
+    def unet(x):                                                  # [b,H,W,5]
+        c1 = cbr(x, 1)
+        c2 = cbr(c1, 2, stride=2)
+        c3 = cbr(c2, 3, stride=2)
+        c4 = cbr(c3, 4, stride=2)
+        c5 = cbr(c4, 5)
+        u5 = upsample_bilinear_align_corners(c5, c3.shape[1], c3.shape[2])
+        c6 = cbr(jnp.concatenate([u5, c3], -1), 6)
+        u6 = upsample_bilinear_align_corners(c6, c2.shape[1], c2.shape[2])
+        c7 = cbr(jnp.concatenate([u6, c2], -1), 7)
+        u7 = upsample_bilinear_align_corners(c7, c1.shape[1], c1.shape[2])
+        c8 = cbr(jnp.concatenate([u7, c1], -1), 8)
+        return cbr(c8, 9)                                         # [b,H,W,1]
+
+    def plane_input(dvals):                                       # [k]
+        x = jnp.broadcast_to(rgbd, (dvals.shape[0], H, W, 4))
+        dchan = jnp.broadcast_to(dvals[:, None, None, None],
+                                 (dvals.shape[0], H, W, 1))
+        return jnp.concatenate([x, dchan], axis=-1)
+
+    if plane_chunk and plane_chunk < S:
+        assert S % plane_chunk == 0, (S, plane_chunk)
+        chunks = disparities.reshape(S // plane_chunk, plane_chunk)
+        c9 = jax.lax.map(lambda d: unet(plane_input(d)), chunks)
+        c9 = c9.reshape(S, H, W, 1)
+    else:
+        c9 = unet(plane_input(disparities))
+    return jax.nn.softmax(c9[..., 0], axis=0)                     # over planes
 
 
 # ----------------------------------------------------------- CPN decoder
@@ -142,13 +158,60 @@ def _conv_block(x, p: P, name: str, padding: int):
 
 def depth_decoder(params: Dict, enc_feats: List[jnp.ndarray],
                   feature_mask: jnp.ndarray, prefix: str = "decoder.",
-                  scales=(0, 1, 2, 3)) -> List[jnp.ndarray]:
+                  scales=(0, 1, 2, 3), plane_chunk: int = 0):
     """DepthDecoder (model/CPN/decoder.py:72-174) at B=1, S planes.
 
     enc_feats: 5 NHWC scales with leading dim 1; feature_mask [S,H,W].
     Returns multi-scale MPIs, index 0 = full resolution [S,H,W,4]
     (rgb sigmoid, sigma relu(out*cum_mask)+1e-4).
+
+    Planes are independent given the (shared) encoder features and the
+    per-plane context masks; `plane_chunk` > 0 maps over plane chunks to
+    bound activation memory (full-res gated-conv activations are ~1.5GB at
+    64-plane KITTI res otherwise). NOTE: chunking returns only the full-res
+    scale (a list with one element).
     """
+    if plane_chunk and plane_chunk < feature_mask.shape[0]:
+        S = feature_mask.shape[0]
+        assert S % plane_chunk == 0, (S, plane_chunk)
+        fm_chunks = feature_mask.reshape(S // plane_chunk, plane_chunk,
+                                         *feature_mask.shape[1:])
+        # context masks depend on the cumulative mask across ALL planes, so
+        # compute cum/context upfront and chunk those
+        fm = feature_mask[None]
+        cum_mask = jnp.cumsum(fm, axis=1)
+        inpaint_mask = jnp.concatenate(
+            [jnp.zeros_like(cum_mask[:, -1:]), cum_mask[:, :-1]], axis=1)
+        context_mask = (1.0 - inpaint_mask)[0]                  # [S,H,W]
+        cum = cum_mask[0]
+
+        def one_chunk(args):
+            fm_c, ctx_c, cum_c = args
+            return _decoder_planes(params, enc_feats, fm_c, ctx_c, cum_c,
+                                   prefix, scales=(0,))[0]
+
+        k = plane_chunk
+        outs = jax.lax.map(one_chunk, (
+            fm_chunks,
+            context_mask.reshape(S // k, k, *context_mask.shape[1:]),
+            cum.reshape(S // k, k, *cum.shape[1:])))
+        return [outs.reshape(S, *outs.shape[2:])]
+
+    fm = feature_mask[None]
+    cum_mask = jnp.cumsum(fm, axis=1)
+    inpaint_mask = jnp.concatenate(
+        [jnp.zeros_like(cum_mask[:, -1:]), cum_mask[:, :-1]], axis=1)
+    context_mask = (1.0 - inpaint_mask)[0]
+    return _decoder_planes(params, enc_feats, feature_mask, context_mask,
+                           cum_mask[0], prefix, scales)
+
+
+def _decoder_planes(params: Dict, enc_feats: List[jnp.ndarray],
+                    feature_mask: jnp.ndarray, context_mask: jnp.ndarray,
+                    cum_mask: jnp.ndarray, prefix: str = "decoder.",
+                    scales=(0, 1, 2, 3)) -> List[jnp.ndarray]:
+    """Decoder body for a set of planes with precomputed context masks.
+    feature_mask/context_mask/cum_mask: [S,H,W]."""
     p = P(params, prefix)
     S = feature_mask.shape[0]
 
@@ -159,22 +222,14 @@ def depth_decoder(params: Dict, enc_feats: List[jnp.ndarray],
     x = _conv_block(upsample_nearest(x), p, "conv_up1", 1)
     conv_up2 = _conv_block(upsample_nearest(x), p, "conv_up2", 0)
 
-    # plane context masks (decoder.py:135-137)
-    fm = feature_mask[None]                                   # [1,S,H,W]
-    cum_mask = jnp.cumsum(fm, axis=1)
-    inpaint_mask = jnp.concatenate(
-        [jnp.zeros_like(cum_mask[:, -1:]), cum_mask[:, :-1]], axis=1)
-    context_mask = 1.0 - inpaint_mask                         # [1,S,H,W]
-
     from mpiflow_tpu.ops.resample import adaptive_avg_pool2d as pool_hw
 
     def tile_with_masks(feat):
-        """(decoder.py:139-152): feat [1,h,w,C] -> [S,h,w,C+2] with
-        context/feature masks pooled to (h,w). Masks are [1,S,H,W]
-        (pooled over the trailing spatial dims)."""
+        """(decoder.py:139-152): feat [1,h,w,C] -> [S,h,w,C+2] with the
+        (precomputed) context/feature masks pooled to (h,w)."""
         h, w = feat.shape[1], feat.shape[2]
-        ctx = pool_hw(context_mask, h, w)[0][..., None]             # [S,h,w,1]
-        fmk = pool_hw(fm, h, w)[0][..., None]
+        ctx = pool_hw(context_mask, h, w)[..., None]                # [S,h,w,1]
+        fmk = pool_hw(feature_mask, h, w)[..., None]
         tiled = jnp.broadcast_to(feat, (S,) + feat.shape[1:])
         return jnp.concatenate([tiled * ctx, ctx, fmk], axis=-1)
 
@@ -191,7 +246,7 @@ def depth_decoder(params: Dict, enc_feats: List[jnp.ndarray],
         if i in scales:
             out = _gated_conv(x, p.sub(f"convs.{decoder_key(('dispconv', i))}."))
             h, w = out.shape[1], out.shape[2]
-            cur_mask = pool_hw(cum_mask, h, w)[0][..., None]
+            cur_mask = pool_hw(cum_mask, h, w)[..., None]
             rgb = jax.nn.sigmoid(out[..., 0:3])
             sigma = relu(out[..., 3:4] * cur_mask) + 1e-4
             outputs.append(jnp.concatenate([rgb, sigma], axis=-1))
@@ -258,11 +313,13 @@ def depth_prediction_network(params: Dict, init_disp: jnp.ndarray,
 
 # ----------------------------------------------------------- full predictor
 def adampi_forward(params: Dict, image: jnp.ndarray, disp: jnp.ndarray,
-                   num_planes: int, use_dpn: bool = False):
+                   num_planes: int, use_dpn: bool = False,
+                   plane_chunk: int = 0):
     """MPIPredictor.forward (model/AdaMPI.py:55-78).
 
     image [3,H,W] in [0,1]; disp [H,W]. Returns
     (mpi_rgb [S,3,H,W], mpi_sigma [S,1,H,W], disparities [S]).
+    plane_chunk bounds the FMN/decoder activation memory (see those fns).
     """
     H, W = image.shape[1], image.shape[2]
     rgb = image.transpose(1, 2, 0)[None]                       # [1,H,W,3]
@@ -276,15 +333,17 @@ def adampi_forward(params: Dict, image: jnp.ndarray, disp: jnp.ndarray,
         disparities = depth_prediction_network(params, disparities, rgb_low,
                                                disp_low)
 
-    fm = feat_mask_network(params, rgb, d, disparities)        # [S,H,W]
+    fm = feat_mask_network(params, rgb, d, disparities,
+                           plane_chunk=plane_chunk)            # [S,H,W]
     feats = resnet_encoder(params, rgb, d)
-    mpi = depth_decoder(params, feats, fm)[0]                  # [S,H,W,4]
+    mpi = depth_decoder(params, feats, fm,
+                        plane_chunk=plane_chunk)[0]            # [S,H,W,4]
     mpi = mpi.transpose(0, 3, 1, 2)                            # [S,4,H,W]
     return mpi[:, 0:3], mpi[:, 3:4], disparities
 
 
 def load_adampi_predictor(ckpt_path: str, width: int, height: int,
-                          use_dpn: bool = False):
+                          use_dpn: bool = False, plane_chunk: int = 8):
     """Load adampi_64p.pth (keys {'num_planes','weight'},
     gen_3dphoto_dynamic_v2.py:52-58) and return an MPIPredictFn for the
     generation pipeline: (image [3,H,W], disp [H,W]) ->
@@ -298,7 +357,8 @@ def load_adampi_predictor(ckpt_path: str, width: int, height: int,
 
     def predict(image, disp):
         rgb, sigma, _ = adampi_forward(params, image, disp, num_planes,
-                                       use_dpn=use_dpn)
+                                       use_dpn=use_dpn,
+                                       plane_chunk=plane_chunk)
         return rgb, sigma
 
     return predict

@@ -287,6 +287,12 @@ def raft_forward(params: Dict, image1: jnp.ndarray, image2: jnp.ndarray,
     """
     N, H, W, _ = image1.shape
     h, w = H // 8, W // 8
+    min_dim = 8 * 2 ** (cfg.corr_levels - 1)
+    if H < min_dim or W < min_dim:
+        raise ValueError(
+            f"RAFT needs H,W >= {min_dim} for {cfg.corr_levels} correlation "
+            f"levels (the coarsest 1/8-res pyramid level would be empty); "
+            f"got {H}x{W}")
     hdim, cdim = cfg.hidden_dim, cfg.context_dim
 
     x1 = (2.0 * (image1 / 255.0) - 1.0).astype(compute_dtype)

@@ -45,10 +45,12 @@ def canny_edges(gray: jnp.ndarray, sigma: float = 2.0,
     H, W = x.shape
     def sh(dy, dx):
         return pad[1 + dy:1 + dy + H, 1 + dx:1 + dx + W]
+    # unnormalized Sobel (skimage/ndimage convention -- its default 0.1/0.2
+    # thresholds are calibrated against this scale)
     gx = (sh(-1, 1) + 2 * sh(0, 1) + sh(1, 1)
-          - sh(-1, -1) - 2 * sh(0, -1) - sh(1, -1)) / 8.0
+          - sh(-1, -1) - 2 * sh(0, -1) - sh(1, -1))
     gy = (sh(1, -1) + 2 * sh(1, 0) + sh(1, 1)
-          - sh(-1, -1) - 2 * sh(-1, 0) - sh(-1, 1)) / 8.0
+          - sh(-1, -1) - 2 * sh(-1, 0) - sh(-1, 1))
     mag = jnp.hypot(gx, gy)
 
     # non-maximum suppression along the quantized gradient direction

@@ -96,14 +96,36 @@ def render_dynamic_sample(mpi_rgb: jnp.ndarray,
 
     Returns DynamicSample with the mixed flow (as [H,W,2]), uint8 src/dst.
     """
-    r_obj = render_novel_view(mpi_rgb, mpi_sigma, disparities, G_obj,
-                              K_src, K_tgt, src_img=src_img,
-                              obj_mask=obj_mask, flow_clip=flow_clip,
-                              hard_flow=hard_flow, mode=mode)
-    r_cam = render_novel_view(mpi_rgb, mpi_sigma, disparities, G_cam,
-                              K_src, K_tgt, src_img=src_img,
-                              obj_mask=1.0 - obj_mask, flow_clip=flow_clip,
-                              hard_flow=hard_flow, mode=mode)
+    if mode == "preblocked":
+        # the heavy pose-independent precompute (blend + blocked layout +
+        # source weights) is shared by both pose renders; the obj and
+        # background masks differ only in the tracked mask channel
+        from mpiflow_tpu.render.mpi import (preblock_mpi,
+                                            render_novel_view_preblocked)
+        pre = preblock_mpi(mpi_rgb, mpi_sigma, disparities, K_src,
+                           src_img=src_img, obj_mask=obj_mask)
+        r_obj = render_novel_view_preblocked(pre, disparities, G_obj,
+                                             K_src, K_tgt,
+                                             flow_clip=flow_clip,
+                                             hard_flow=hard_flow)
+        # the camera render tracks (1 - obj); since bilinear warping is
+        # affine, warp(1-obj) = 1-warp(obj) and its composite is exactly
+        # w_sum - obj_acc -- handled by invert_mask, no second preblock
+        r_cam = render_novel_view_preblocked(pre, disparities, G_cam,
+                                             K_src, K_tgt,
+                                             flow_clip=flow_clip,
+                                             hard_flow=hard_flow,
+                                             invert_mask=True)
+    else:
+        r_obj = render_novel_view(mpi_rgb, mpi_sigma, disparities, G_obj,
+                                  K_src, K_tgt, src_img=src_img,
+                                  obj_mask=obj_mask, flow_clip=flow_clip,
+                                  hard_flow=hard_flow, mode=mode)
+        r_cam = render_novel_view(mpi_rgb, mpi_sigma, disparities, G_cam,
+                                  K_src, K_tgt, src_img=src_img,
+                                  obj_mask=1.0 - obj_mask,
+                                  flow_clip=flow_clip,
+                                  hard_flow=hard_flow, mode=mode)
 
     flow_mix, frame_mix, holes = compose_dynamic_pair(
         r_obj.frame, r_obj.obj_mask, r_obj.flow,

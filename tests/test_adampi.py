@@ -83,3 +83,17 @@ def test_dpn_matches_reference(adampi_setup):
     out = depth_prediction_network(params, disparities, rgb_low, disp_low)
     np.testing.assert_allclose(np.asarray(out), g["dpn_disp"][0], rtol=1e-3,
                                atol=1e-5)
+
+
+def test_plane_chunked_matches_unchunked(adampi_setup):
+    """plane_chunk bounds memory but must not change outputs."""
+    g, params, img, disp = adampi_setup
+    rgb_a, sigma_a, _ = adampi_forward(params, img, disp, num_planes=8)
+    rgb_b, sigma_b, _ = adampi_forward(params, img, disp, num_planes=8,
+                                       plane_chunk=2)
+    # XLA picks different conv algorithms per batch size; f32 accumulation
+    # noise only (same tolerance as the reference-parity gate)
+    np.testing.assert_allclose(np.asarray(rgb_b), np.asarray(rgb_a),
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(sigma_b), np.asarray(sigma_a),
+                               rtol=1e-3, atol=1e-3)

@@ -50,3 +50,27 @@ def test_batched_hard_flow_matches_scan(golden):
                               K, K, mode="scan", **kw)
     np.testing.assert_allclose(np.asarray(out_b.flow),
                                np.asarray(out_s.flow), atol=1e-5)
+
+
+def test_preblocked_mode_matches_scan(golden):
+    """The shared-precompute renderer must match scan mode exactly,
+    including the invert_mask (1-obj) identity."""
+    from mpiflow_tpu.render.dynamic import render_dynamic_sample
+    g = golden("e2e_dynamic")
+    args = (jnp.asarray(g["mpi_all"][0, :, 0:3]),
+            jnp.asarray(g["mpi_all"][0, :, 3:4]),
+            jnp.asarray(g["disp"]),
+            jnp.asarray(g["src_img"][0]),
+            jnp.asarray(g["obj_mask"][0, 0]),
+            jnp.asarray(g["G_obj"]), jnp.asarray(g["G_cam"]),
+            jnp.asarray(g["K"]), jnp.asarray(g["K"]))
+    a = render_dynamic_sample(*args, mode="scan", inpaint_iters=8)
+    b = render_dynamic_sample(*args, mode="preblocked", inpaint_iters=8)
+    np.testing.assert_allclose(np.asarray(b.flow), np.asarray(a.flow),
+                               atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(b.frame_mix_u8),
+                                  np.asarray(a.frame_mix_u8))
+    np.testing.assert_array_equal(np.asarray(b.holes), np.asarray(a.holes))
+    # and against the reference e2e goldens directly
+    epe = np.sqrt(((np.asarray(b.flow) - g["flow_mix"]) ** 2).sum(-1))
+    assert epe.max() < 0.01
