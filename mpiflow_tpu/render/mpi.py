@@ -403,33 +403,38 @@ def render_novel_view_preblocked(pre: PreblockedMPI,
     H_ts, H_st = plane_homographies(G_tgt_src, K_src, K_tgt, depths)
     zeros_hw = jnp.zeros((H, W), dtype)
 
-    def step(carry, xs):
-        (T_tgt_acc, w_sum, rgb_acc, z_acc, obj_acc, flow_acc, valid_acc,
-         wmax, flow_at_max, prev_rgb, prev_sigma, prev_xyz, prev_obj) = carry
-        s_idx, H_ts_s, H_st_s, depth_s = xs
+    # hoist the per-plane coordinate math out of the scan: coords/flow for
+    # ALL planes in two batched matmuls ([S,3,3] x [3,HW]); the scan body is
+    # then gather + elementwise only
+    src_homo = jnp.matmul(H_st, grid_flat[None], precision=_HI)   # [S,3,N]
+    coords_all = (src_homo[:, 0:2] / src_homo[:, 2:3]).reshape(-1, 2, H, W)
+    tgt_homo = jnp.matmul(H_ts, grid_flat[None], precision=_HI)
+    flow_all = ((tgt_homo[:, 0:2] / tgt_homo[:, 2:3])
+                - grid_flat[None, 0:2]).reshape(-1, 2, H, W)
+    valid_sum = ((coords_all[:, 0] < W) & (coords_all[:, 0] > -1)
+                 & (coords_all[:, 1] < H) & (coords_all[:, 1] > -1)
+                 ).astype(dtype).sum(0)
 
-        src_homo = jnp.matmul(H_st_s, grid_flat, precision=_HI)
-        coords = (src_homo[0:2] / src_homo[2:3]).reshape(2, H, W)
-        valid_s = ((coords[0] < W) & (coords[0] > -1)
-                   & (coords[1] < H) & (coords[1] > -1)).astype(dtype)
-        warped5 = bilinear_sample_blocked(pre.blocked[s_idx], 5, H, W,
+    def step(carry, xs):
+        (T_tgt_acc, w_sum, rgb_acc, z_acc, obj_acc, flow_acc,
+         wmax, flow_at_max, prev_rgb, prev_sigma, prev_xyz, prev_obj) = carry
+        s_idx, depth_s, coords, flow_s, w_src_s, blocked_s = xs
+
+        warped5 = bilinear_sample_blocked(blocked_s, 5, H, W,
                                           coords.transpose(1, 2, 0))
         rgb_w = warped5[0:3]
         sigma_w = warped5[3]
         obj_w = warped5[4]
-        # analytic warped xyz (linear in clamped source coords)
+        # analytic warped xyz (linear in the clamped source coords); written
+        # as explicit FMAs to keep it on the VPU
         xc = jnp.clip(coords[0], 0.0, W - 1.0)
         yc = jnp.clip(coords[1], 0.0, H - 1.0)
-        v = jnp.stack([xc.ravel(), yc.ravel(), jnp.ones(H * W, dtype)])
-        xyz_w = (jnp.matmul(RKinv, v, precision=_HI) * depth_s
-                 + t[:, None]).reshape(3, H, W)
+        xyz_w = (RKinv[:, 0, None, None] * xc[None]
+                 + RKinv[:, 1, None, None] * yc[None]
+                 + RKinv[:, 2, None, None]) * depth_s + t[:, None, None]
         sigma_w = jnp.where(xyz_w[2] >= 0, sigma_w, 0.0)
 
         # source-frame flow accumulation with precomputed weights
-        tgt_homo = jnp.matmul(H_ts_s, grid_flat, precision=_HI)
-        flow_s = ((tgt_homo[0:2] / tgt_homo[2:3]) - grid_flat[0:2]
-                  ).reshape(2, H, W)
-        w_src_s = pre.w_src[s_idx]
         flow_acc = flow_acc + w_src_s[None] * flow_s
         take = w_src_s > wmax
         wmax = jnp.where(take, w_src_s, wmax)
@@ -446,20 +451,18 @@ def render_novel_view_preblocked(pre: PreblockedMPI,
         w_sum = w_sum + w
         T_tgt_acc = jnp.where(is_first, T_tgt_acc,
                               T_tgt_acc * (T_p + cumprod_eps))
-        valid_acc = valid_acc + valid_s
         return (T_tgt_acc, w_sum, rgb_acc, z_acc, obj_acc, flow_acc,
-                valid_acc, wmax, flow_at_max, rgb_w, sigma_w, xyz_w,
-                obj_w), None
+                wmax, flow_at_max, rgb_w, sigma_w, xyz_w, obj_w), None
 
     init = (jnp.ones((H, W), dtype), zeros_hw,
             jnp.zeros((3, H, W), dtype), zeros_hw, zeros_hw,
-            jnp.zeros((2, H, W), dtype), zeros_hw,
+            jnp.zeros((2, H, W), dtype),
             jnp.full((H, W), -jnp.inf, dtype), jnp.zeros((2, H, W), dtype),
             jnp.zeros((3, H, W), dtype), zeros_hw,
             jnp.zeros((3, H, W), dtype), zeros_hw)
-    xs = (jnp.arange(S), H_ts, H_st, depths)
+    xs = (jnp.arange(S), depths, coords_all, flow_all, pre.w_src, pre.blocked)
     carry, _ = jax.lax.scan(step, init, xs)
-    (T_tgt_acc, w_sum, rgb_acc, z_acc, obj_acc, flow_acc, valid_acc, wmax,
+    (T_tgt_acc, w_sum, rgb_acc, z_acc, obj_acc, flow_acc, wmax,
      flow_at_max, prev_rgb, prev_sigma, prev_xyz, prev_obj) = carry
 
     T_p = jnp.exp(-prev_sigma * jnp.full((H, W), far_cap, dtype))
@@ -474,7 +477,7 @@ def render_novel_view_preblocked(pre: PreblockedMPI,
     flow = jnp.clip(flow, -flow_clip, flow_clip)
     obj_out = (w_sum - obj_acc) if invert_mask else obj_acc
     return NovelView(frame=rgb_acc, depth=depth, flow=flow,
-                     obj_mask=obj_out, valid_sum=valid_acc)
+                     obj_mask=obj_out, valid_sum=valid_sum)
 
 
 def _render_batched(mpi_rgb, mpi_sigma, dist_src_all, H_ts, H_st, depths,
