@@ -65,7 +65,8 @@ def resnet_encoder(params: Dict, rgb: jnp.ndarray, disp: jnp.ndarray,
     [conv1(H/2), layer1(H/4), layer2(H/8), layer3(H/16), layer4(H/32)].
     """
     p = P(params, prefix)
-    x = (rgb - IMAGENET_MEAN) / IMAGENET_STD
+    x = ((rgb - IMAGENET_MEAN.astype(rgb.dtype))
+         / IMAGENET_STD.astype(rgb.dtype))
     x = jnp.concatenate([x, disp], axis=-1)
     x = conv_bn_act(x, p, "conv1", "bn1", relu, stride=2, padding=3)
     conv1_out = x
@@ -95,6 +96,7 @@ def feat_mask_network(params: Dict, rgb: jnp.ndarray, disp: jnp.ndarray,
     p = P(params, prefix)
     S = disparities.shape[0]
     _, H, W, _ = rgb.shape
+    disparities = disparities.astype(rgb.dtype)
     rgbd = jnp.concatenate([rgb, disp], axis=-1)                  # [1,H,W,4]
 
     def cbr(x, i, stride=1):
@@ -343,22 +345,29 @@ def adampi_forward(params: Dict, image: jnp.ndarray, disp: jnp.ndarray,
 
 
 def load_adampi_predictor(ckpt_path: str, width: int, height: int,
-                          use_dpn: bool = False, plane_chunk: int = 8):
+                          use_dpn: bool = False, plane_chunk: int = 8,
+                          compute_dtype=jnp.bfloat16):
     """Load adampi_64p.pth (keys {'num_planes','weight'},
     gen_3dphoto_dynamic_v2.py:52-58) and return an MPIPredictFn for the
     generation pipeline: (image [3,H,W], disp [H,W]) ->
-    (mpi_rgb [S,3,H,W], mpi_sigma [S,1,H,W])."""
+    (mpi_rgb [S,3,H,W], mpi_sigma [S,1,H,W]).
+
+    compute_dtype defaults to bfloat16: the reference itself runs the
+    network in fp16 (gen_3dphoto_dynamic_v2.py:59), and v5e convs are ~8x
+    faster in bf16. Pass jnp.float32 for parity testing; compositing
+    downstream is always fp32."""
     from mpiflow_tpu.models.torch_convert import load_torch_checkpoint
     ckpt = load_torch_checkpoint(ckpt_path)
     num_planes = int(ckpt.get("num_planes", 64))
     from mpiflow_tpu.models.torch_convert import convert_state_dict
     params = convert_state_dict(ckpt["weight"])
-    params = jax.tree_util.tree_map(jnp.asarray, params)
+    params = jax.tree_util.tree_map(
+        lambda v: jnp.asarray(v, compute_dtype), params)
 
     def predict(image, disp):
-        rgb, sigma, _ = adampi_forward(params, image, disp, num_planes,
-                                       use_dpn=use_dpn,
-                                       plane_chunk=plane_chunk)
-        return rgb, sigma
+        rgb, sigma, _ = adampi_forward(
+            params, image.astype(compute_dtype), disp.astype(compute_dtype),
+            num_planes, use_dpn=use_dpn, plane_chunk=plane_chunk)
+        return rgb.astype(jnp.float32), sigma.astype(jnp.float32)
 
     return predict

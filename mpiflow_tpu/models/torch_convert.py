@@ -55,7 +55,12 @@ def convert_state_dict(state_dict,
             base = k[: -len("_orig")]
             u = raw.get(base + "_u")
             if u is not None:
-                w_mat = arr.reshape(arr.shape[0], -1).astype(np.float64)
+                # torch normalizes along the "output" dim: 0 for Conv2d,
+                # 1 for ConvTranspose2d -- infer it from u's length
+                dim = 0 if arr.shape[0] == u.shape[0] else 1
+                perm = (dim,) + tuple(d for d in range(arr.ndim) if d != dim)
+                w_mat = arr.transpose(perm).reshape(arr.shape[dim], -1
+                                                    ).astype(np.float64)
                 v = raw.get(base + "_v")  # torch eval uses the STORED v
                 if v is None:
                     v = w_mat.T @ u.astype(np.float64)

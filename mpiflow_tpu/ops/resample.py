@@ -48,12 +48,47 @@ def bilinear_sample_border(img: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray
     v10 = gather(y1i, x0i)
     v11 = gather(y1i, x1i)
 
-    w00 = ((1.0 - fy) * (1.0 - fx))[None]
-    w01 = ((1.0 - fy) * fx)[None]
-    w10 = (fy * (1.0 - fx))[None]
-    w11 = (fy * fx)[None]
+    dt = img.dtype
+    w00 = ((1.0 - fy) * (1.0 - fx))[None].astype(dt)
+    w01 = ((1.0 - fy) * fx)[None].astype(dt)
+    w10 = (fy * (1.0 - fx))[None].astype(dt)
+    w11 = (fy * fx)[None].astype(dt)
     out = v00 * w00 + v01 * w01 + v10 * w10 + v11 * w11
     return out.reshape((C,) + out_shape)
+
+
+def _interp_matrix(n_in: int, n_out: int, align_corners: bool):
+    """Dense 1-D linear-interpolation matrix [n_out, n_in] (2 nonzeros/row).
+
+    Image resizing is separable, so a resize is two small matmuls instead of
+    a per-pixel gather -- XLA TPU gathers are index-rate bound while these
+    matmuls are effectively free. Zero entries don't perturb f32 sums, so
+    results are bit-equal to the gather formulation.
+    """
+    import numpy as np
+    if align_corners:
+        pos = np.arange(n_out, dtype=np.float64) * (
+            (n_in - 1) / max(n_out - 1, 1))
+    else:
+        pos = (np.arange(n_out, dtype=np.float64) + 0.5) * (n_in / n_out) - 0.5
+        pos = np.clip(pos, 0, n_in - 1)
+    i0 = np.minimum(np.floor(pos).astype(np.int64), n_in - 1)
+    i1 = np.minimum(i0 + 1, n_in - 1)
+    f = (pos - i0).astype(np.float32)
+    M = np.zeros((n_out, n_in), np.float32)
+    M[np.arange(n_out), i0] += 1.0 - f
+    M[np.arange(n_out), i1] += f
+    return M
+
+
+def _resize_matmul(img: jnp.ndarray, out_h: int, out_w: int,
+                   align_corners: bool) -> jnp.ndarray:
+    C, H, W = img.shape
+    My = jnp.asarray(_interp_matrix(H, out_h, align_corners), img.dtype)
+    Mx = jnp.asarray(_interp_matrix(W, out_w, align_corners), img.dtype)
+    hi = jax.lax.Precision.HIGHEST
+    out = jnp.einsum("oh,chw->cow", My, img, precision=hi)
+    return jnp.einsum("pw,cow->cop", Mx, out, precision=hi)
 
 
 def resize_bilinear_align_corners(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
@@ -61,11 +96,7 @@ def resize_bilinear_align_corners(img: jnp.ndarray, out_h: int, out_w: int) -> j
     C, H, W = img.shape
     if (H, W) == (out_h, out_w):
         return img
-    # align_corners=True: output pixel i maps to i * (in-1)/(out-1)
-    ys = jnp.arange(out_h, dtype=jnp.float32) * ((H - 1) / max(out_h - 1, 1))
-    xs = jnp.arange(out_w, dtype=jnp.float32) * ((W - 1) / max(out_w - 1, 1))
-    coords = jnp.stack(jnp.meshgrid(xs, ys), axis=-1)  # [out_h,out_w,2] (x,y)
-    return bilinear_sample_border(img, coords)
+    return _resize_matmul(img, out_h, out_w, align_corners=True)
 
 
 def blocked_source(img: jnp.ndarray) -> jnp.ndarray:
@@ -124,10 +155,11 @@ def bilinear_sample_blocked(blocked: jnp.ndarray, num_channels: int,
         return jnp.where(oy == 0, jnp.where(ox == 0, v00, v01),
                          jnp.where(ox == 0, v10, v11))
 
-    w00 = ((1 - fy) * (1 - fx))[:, None]
-    w01 = ((1 - fy) * fx)[:, None]
-    w10 = (fy * (1 - fx))[:, None]
-    w11 = (fy * fx)[:, None]
+    dt = blocked.dtype
+    w00 = ((1 - fy) * (1 - fx))[:, None].astype(dt)
+    w01 = ((1 - fy) * fx)[:, None].astype(dt)
+    w10 = (fy * (1 - fx))[:, None].astype(dt)
+    w11 = (fy * fx)[:, None].astype(dt)
     out = tap(0, 0) * w00 + tap(0, 1) * w01 + tap(1, 0) * w10 + tap(1, 1) * w11
     return out.T.reshape((C,) + out_shape)
 
@@ -138,10 +170,7 @@ def resize_bilinear(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     C, H, W = img.shape
     if (H, W) == (out_h, out_w):
         return img
-    ys = (jnp.arange(out_h, dtype=jnp.float32) + 0.5) * (H / out_h) - 0.5
-    xs = (jnp.arange(out_w, dtype=jnp.float32) + 0.5) * (W / out_w) - 0.5
-    coords = jnp.stack(jnp.meshgrid(xs, ys), axis=-1)
-    return bilinear_sample_border(img, coords)
+    return _resize_matmul(img, out_h, out_w, align_corners=False)
 
 
 def avg_pool2d(x: jnp.ndarray, k: int = 2) -> jnp.ndarray:
@@ -177,7 +206,7 @@ def adaptive_avg_pool2d(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
         counts = (ends - starts).astype(np.float32)
         shape = [1] * arr.ndim
         shape[axis % arr.ndim] = -1
-        return (hi - lo) / jnp.asarray(counts).reshape(shape)
+        return (hi - lo) / jnp.asarray(counts, arr.dtype).reshape(shape)
 
     x = pool_axis(x, out_h, -2)
     x = pool_axis(x, out_w, -1)

@@ -97,3 +97,22 @@ def test_plane_chunked_matches_unchunked(adampi_setup):
                                atol=1e-3)
     np.testing.assert_allclose(np.asarray(sigma_b), np.asarray(sigma_a),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_load_adampi_predictor_from_pth(tmp_path, adampi_setup):
+    """Full checkpoint path: torch .pth -> converter -> jitted predictor."""
+    import torch
+    g, params, img, disp = adampi_setup
+    # rebuild a torch-format state dict from the fixture manifest
+    sd = {k: torch.from_numpy(v) for k, v in _regen_state(g).items()}
+    path = str(tmp_path / "adampi_8p.pth")
+    torch.save({"num_planes": 8, "weight": sd}, path)
+
+    from mpiflow_tpu.models.adampi import load_adampi_predictor
+    predict = load_adampi_predictor(path, width=img.shape[2],
+                                    height=img.shape[1],
+                                    compute_dtype=jnp.float32,
+                                    plane_chunk=0)
+    rgb, sigma = predict(img, disp)
+    mpi = np.concatenate([np.asarray(rgb), np.asarray(sigma)], axis=1)
+    np.testing.assert_allclose(mpi, g["mpi"][0], rtol=1e-3, atol=1e-3)
