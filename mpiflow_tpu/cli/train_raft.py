@@ -22,6 +22,7 @@ def build_parser():
                    help=".pth (torch) or .npz (converted) checkpoint")
     p.add_argument("--data_root", type=str, required=True)
     p.add_argument("--small", action="store_true")
+    p.add_argument("--mixed_precision", action="store_true")
     p.add_argument("--validation", type=str, nargs="+", default=[])
     p.add_argument("--kitti_root", type=str, default="datasets/KITTI")
     p.add_argument("--sintel_root", type=str, default="datasets/Sintel")
@@ -86,6 +87,9 @@ def main(argv=None) -> int:
         clip=args.clip, gamma=args.gamma, add_noise=args.add_noise,
         seed=args.seed, validation=tuple(args.validation))
     model_cfg = RAFTConfig.small_config() if args.small else RAFTConfig()
+    if args.mixed_precision:
+        import dataclasses as _dc
+        model_cfg = _dc.replace(model_cfg, mixed_precision=True)
 
     dataset = fetch_dataset(args.stage, args.data_root,
                             tuple(args.image_size), seed=args.seed)

@@ -113,7 +113,9 @@ class RAFTConfig:
     corr_radius: int = 4
     dropout: float = 0.0
     alternate_corr: bool = False
-    mixed_precision: bool = True
+    # bf16 convs / f32 flow math (the reference's AMP); off by default so
+    # parity tests and eval run pure f32 -- enable for training throughput
+    mixed_precision: bool = False
 
     @staticmethod
     def small_config() -> "RAFTConfig":

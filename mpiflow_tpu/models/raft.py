@@ -295,17 +295,25 @@ def raft_forward(params: Dict, image1: jnp.ndarray, image2: jnp.ndarray,
             f"got {H}x{W}")
     hdim, cdim = cfg.hidden_dim, cfg.context_dim
 
+    if cfg.mixed_precision and compute_dtype == jnp.float32:
+        compute_dtype = jnp.bfloat16  # AMP equivalent (raft.py:99,110,127)
+    if compute_dtype != jnp.float32:
+        # params stay f32 (optimizer state); casts fuse into the convs
+        cparams = {k: v.astype(compute_dtype) for k, v in params.items()}
+    else:
+        cparams = params
+
     x1 = (2.0 * (image1 / 255.0) - 1.0).astype(compute_dtype)
     x2 = (2.0 * (image2 / 255.0) - 1.0).astype(compute_dtype)
 
     fkind = "instance"
     ckind = "none" if cfg.small else "batch"
     both = jnp.concatenate([x1, x2], axis=0)
-    fmaps = basic_encoder(params, both, "fnet.", fkind, cfg.small)
+    fmaps = basic_encoder(cparams, both, "fnet.", fkind, cfg.small)
     fmap1 = fmaps[:N].astype(jnp.float32)
     fmap2 = fmaps[N:].astype(jnp.float32)
 
-    cnet = basic_encoder(params, x1, "cnet.", ckind, cfg.small)
+    cnet = basic_encoder(cparams, x1, "cnet.", ckind, cfg.small)
     net = jnp.tanh(cnet[..., :hdim]).astype(jnp.float32)
     inp = relu(cnet[..., hdim:hdim + cdim]).astype(jnp.float32)
 
@@ -333,8 +341,17 @@ def raft_forward(params: Dict, image1: jnp.ndarray, image2: jnp.ndarray,
         coords1 = jax.lax.stop_gradient(coords1)
         corr = lookup(coords1)
         flow = coords1 - coords0
-        net, mask, dflow = update_block(params, net, inp, corr, flow,
-                                        cfg.small)
+        if compute_dtype != jnp.float32:
+            net, mask, dflow = update_block(
+                cparams, net.astype(compute_dtype),
+                inp.astype(compute_dtype), corr.astype(compute_dtype),
+                flow.astype(compute_dtype), cfg.small)
+            net = net.astype(jnp.float32)
+            dflow = dflow.astype(jnp.float32)
+            mask = None if mask is None else mask.astype(jnp.float32)
+        else:
+            net, mask, dflow = update_block(params, net, inp, corr, flow,
+                                            cfg.small)
         coords1 = coords1 + dflow
         if mask is None:
             flow_up = upsample_flow_bilinear(coords1 - coords0)

@@ -110,3 +110,38 @@ def test_convert_ckpt_cli_roundtrip(tmp_path):
     back = load_torch_checkpoint(dst)
     assert back["num_planes"] == 32
     assert back["weight"]["layer.weight"].shape == (3, 3, 3, 4)  # HWIO
+
+
+def test_disparity_samplers():
+    from mpiflow_tpu.geom.sampling import (
+        sample_disparity_from_bins, sample_disparity_linspace, sample_pdf)
+    key = jax.random.PRNGKey(0)
+    edges = jnp.linspace(1.0, 0.001, 9)
+    d = sample_disparity_from_bins(key, 4, edges)
+    assert d.shape == (4, 8)
+    d = np.asarray(d)
+    assert (d <= np.asarray(edges)[:-1][None] + 1e-6).all()
+    assert (d >= np.asarray(edges)[1:][None] - 1e-6).all()
+
+    d2 = np.asarray(sample_disparity_linspace(key, 3, 8, 1.0, 0.001))
+    assert d2.shape == (3, 8)
+    assert (d2 <= 1.0).all() and (d2 >= 0.0).all()
+
+    # pdf sampling concentrates where weights are high
+    vals = jnp.linspace(0, 1, 16)[None, None, None].repeat(2, 2)
+    w = jnp.zeros((1, 1, 2, 16)).at[..., 12].set(1.0)
+    s = np.asarray(sample_pdf(key, vals, w, 64))
+    assert s.shape == (1, 1, 2, 64)
+    assert abs(s.mean() - float(vals[0, 0, 0, 12])) < 0.1
+
+
+def test_disparity_consistency_zero_for_consistent_maps():
+    from mpiflow_tpu.geom.sampling import disparity_consistency
+    from mpiflow_tpu.geom import pixel_grid_homo, intrinsics_inverse, make_intrinsics
+    H, W = 24, 32
+    K = make_intrinsics(W, H)
+    grid = jnp.asarray(pixel_grid_homo(H, W))
+    disp = jnp.full((H, W), 0.5)
+    loss = disparity_consistency(grid, intrinsics_inverse(K), disp,
+                                 jnp.eye(4), jnp.asarray(K), disp)
+    assert float(loss) < 1e-5

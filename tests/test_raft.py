@@ -104,3 +104,16 @@ def test_bilinear_sample_zeros_oob():
     np.testing.assert_allclose(out[0, 0, 0], 0.0)
     np.testing.assert_allclose(out[0, 0, 1], 0.0)
     np.testing.assert_allclose(out[0, 0, 2], 1.0)
+
+
+def test_mixed_precision_close_to_f32(raft_setup):
+    """bf16 convs / f32 flow math tracks the f32 forward closely."""
+    import dataclasses
+    g, params, img1, img2 = raft_setup
+    cfg32 = RAFTConfig()
+    cfg16 = dataclasses.replace(cfg32, mixed_precision=True)
+    p32 = raft_forward(params, img1, img2, cfg32, iters=2)
+    p16 = raft_forward(params, img1, img2, cfg16, iters=2)
+    err = np.abs(np.asarray(p16) - np.asarray(p32))
+    assert err.mean() < 0.3, err.mean()  # sub-pixel agreement on average
+    assert np.isfinite(np.asarray(p16)).all()
