@@ -180,8 +180,10 @@ def create_kitti_submission(params, data_root: str, output_path: str,
     ds = KITTIPairs(data_root, "testing", aug_params=None)
     infer = _make_infer(params, cfg, iters)
     os.makedirs(output_path, exist_ok=True)
+    from mpiflow_tpu.data.datasets import _read_image
     for i in range(len(ds)):
-        img1, img2, _, _ = ds[i]
+        img1 = _read_image(ds.image_list[i][0])  # test split has no flow
+        img2 = _read_image(ds.image_list[i][1])
         p1, crop = pad_to_multiple_of_8(img1.astype(np.float32), "kitti")
         p2, _ = pad_to_multiple_of_8(img2.astype(np.float32), "kitti")
         pred = np.asarray(infer(jnp.asarray(p1[None]), jnp.asarray(p2[None])))
