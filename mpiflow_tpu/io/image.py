@@ -60,13 +60,18 @@ def to_u8(img01: np.ndarray) -> np.ndarray:
                    0, 255).astype(np.uint8)
 
 
-def save_image_u8(path: str, img: np.ndarray) -> None:
-    """Save an RGB (or grayscale) uint8 image as PNG."""
+def save_image_u8(path: str, img: np.ndarray, fast: bool = True) -> None:
+    """Save an RGB (or grayscale) uint8 image as PNG.
+
+    fast=True uses zlib level 1 (~3x faster encode, ~15% larger files) --
+    PNG encoding runs on host CPU and competes with the input pipeline."""
     try:
         import cv2
         bgr = img[:, :, ::-1] if img.ndim == 3 else img
-        if not cv2.imwrite(path, bgr):
+        flags = [cv2.IMWRITE_PNG_COMPRESSION, 1] if fast else []
+        if not cv2.imwrite(path, bgr, flags):
             raise IOError(f"failed to write {path}")
     except ImportError:
         from PIL import Image
-        Image.fromarray(img).save(path)
+        Image.fromarray(img).save(path,
+                                  compress_level=1 if fast else 6)
