@@ -1,6 +1,7 @@
 import numpy as np
 import jax.numpy as jnp
 
+import pytest
 from mpiflow_tpu.render import render_novel_view
 
 
@@ -74,3 +75,24 @@ def test_preblocked_mode_matches_scan(golden):
     # and against the reference e2e goldens directly
     epe = np.sqrt(((np.asarray(b.flow) - g["flow_mix"]) ** 2).sum(-1))
     assert epe.max() < 0.01
+
+
+def test_diffusion_inpaint_close_to_cv2_ns(golden):
+    """On-device diffusion fill vs the reference's cv2 NS inpaint: holes
+    within a few u8 levels, non-hole pixels bit-equal (PARITY.md)."""
+    cv2 = pytest.importorskip("cv2")
+    from mpiflow_tpu.render.dynamic import render_dynamic_sample
+    from mpiflow_tpu.ops.inpaint import inpaint_cv2
+    g = golden("e2e_dynamic")
+    args = (jnp.asarray(g["mpi_all"][0, :, 0:3]),
+            jnp.asarray(g["mpi_all"][0, :, 3:4]),
+            jnp.asarray(g["disp"]), jnp.asarray(g["src_img"][0]),
+            jnp.asarray(g["obj_mask"][0, 0]),
+            jnp.asarray(g["G_obj"]), jnp.asarray(g["G_cam"]),
+            jnp.asarray(g["K"]), jnp.asarray(g["K"]))
+    out = render_dynamic_sample(*args, inpaint_iters=128)
+    holes = np.asarray(out.holes).astype(bool)
+    ref = g["inpainted"][:, :, ::-1].astype(np.float32)  # reference (cv2 NS)
+    mine = np.asarray(out.dst_u8).astype(np.float32)
+    assert (mine == ref)[~holes].all()
+    assert np.abs(mine - ref)[holes].mean() < 8.0
