@@ -153,6 +153,22 @@ class KITTIPairs(FlowPairDataset):
                 glob.glob(os.path.join(root, "flow_occ", "*_10.png")))
 
 
+class KITTI12Pairs(FlowPairDataset):
+    """KITTI-2012 (grayscale image_0 layout; reference core/datasets.py:282-298)."""
+
+    def __init__(self, root: str, split: str = "training", aug_params=None,
+                 seed=None):
+        super().__init__(aug_params, sparse=True, seed=seed)
+        root = os.path.join(root, split)
+        i1 = sorted(glob.glob(os.path.join(root, "image_0", "*_10.png")))
+        i2 = sorted(glob.glob(os.path.join(root, "image_0", "*_11.png")))
+        self.image_list = list(zip(i1, i2))
+        self.extra_info = [[os.path.basename(p)] for p in i1]
+        if split == "training":
+            self.flow_list = sorted(
+                glob.glob(os.path.join(root, "flow_occ", "*_10.png")))
+
+
 class SintelPairs(FlowPairDataset):
     """MPI-Sintel (RAFT/core/datasets.py:102-118)."""
 

@@ -146,6 +146,27 @@ def validate_kitti(params, data_root: str, cfg: RAFTConfig = RAFTConfig(),
     return res
 
 
+def validate_chairs(params, data_root: str, cfg: RAFTConfig = RAFTConfig(),
+                    iters: int = 24, split_file=None,
+                    log_fn=print) -> Dict[str, float]:
+    """FlyingChairs validation-split EPE (evaluate.py:75-92)."""
+    from mpiflow_tpu.data.datasets import FlyingChairsPairs
+    ds = FlyingChairsPairs(data_root, "validation", aug_params=None,
+                           split_file=split_file)
+    infer = _make_infer(params, cfg, iters)
+    epes = []
+    for i in range(len(ds)):
+        img1, img2, flow_gt, _ = ds[i]
+        p1, crop = pad_to_multiple_of_8(img1.astype(np.float32))
+        p2, _ = pad_to_multiple_of_8(img2.astype(np.float32))
+        pred = np.asarray(infer(jnp.asarray(p1[None]), jnp.asarray(p2[None])))
+        pred = pred[0][crop[0], crop[1]]
+        epes.append(np.sqrt(((pred - flow_gt) ** 2).sum(-1)).ravel())
+    epe = float(np.concatenate(epes).mean())
+    log_fn(f"Validation Chairs EPE: {epe:.6f}")
+    return {"chairs": epe}
+
+
 def validate_sintel(params, data_root: str, cfg: RAFTConfig = RAFTConfig(),
                     iters: int = 32, log_fn=print) -> Dict[str, float]:
     """Sintel training split validation (evaluate.py:96-127)."""

@@ -144,8 +144,18 @@ class Trainer:
         num_steps = num_steps or self.cfg.num_steps
         running: Dict[str, float] = {}
         t0 = time.time()
+        rng = np.random.RandomState(self.cfg.seed)
         for i in range(num_steps):
-            batch = self.shard_batch(next(data_iter))
+            batch = next(data_iter)
+            if self.cfg.add_noise:
+                # reference --add_noise (RAFT/train.py:167-170)
+                stdv = rng.uniform(0.0, 5.0)
+                img1 = np.clip(batch[0] + stdv * rng.randn(*batch[0].shape),
+                               0.0, 255.0).astype(np.float32)
+                img2 = np.clip(batch[1] + stdv * rng.randn(*batch[1].shape),
+                               0.0, 255.0).astype(np.float32)
+                batch = (img1, img2, batch[2], batch[3])
+            batch = self.shard_batch(batch)
             state.params, state.opt_state, metrics = self.step_fn(
                 state.params, state.opt_state, *batch)
             state.step += 1
