@@ -161,6 +161,66 @@ def corr_lookup(pyramid, coords: jnp.ndarray, radius: int) -> jnp.ndarray:
     return jnp.concatenate(out, axis=-1)
 
 
+def corr_lookup_windowed(pyramid, coords: jnp.ndarray,
+                         radius: int) -> jnp.ndarray:
+    """Row-window formulation of the corr lookup (same math as corr_lookup).
+
+    The (2r+1)^2 bilinear samples per pixel share one fractional offset, so
+    everything needed is a contiguous (2r+2)^2 window of the per-pixel corr
+    map. XLA TPU gathers are index-rate bound, so instead of 4*(2r+1)^2
+    point-gathers per pixel we gather 2r+2 ROWS per pixel (a 32x index
+    reduction at r=4) and select the x-window in-register with a one-hot
+    contraction; the backward is correspondingly a row scatter instead of
+    324 point scatter-adds. This is the TPU counterpart of the reference's
+    alt_cuda_corr CUDA kernel (SURVEY §2.3) with exact CorrBlock numerics.
+    """
+    N, h, w, _ = coords.shape
+    r = radius
+    K = 2 * r + 1
+    Wn = K + 1                                                # window size
+    out = []
+    for i, corr in enumerate(pyramid):
+        P, hl, wl, _ = corr.shape                             # P = N*h*w
+        c = coords.reshape(P, 2) / (2 ** i)
+        x, y = c[:, 0], c[:, 1]
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        fx = (x - x0).astype(corr.dtype)
+        fy = (y - y0).astype(corr.dtype)
+        x0i = x0.astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
+
+        # gather the Wn rows [y0-r .. y0+r+1] of each pixel's map
+        rows = y0i[:, None] - r + jnp.arange(Wn, dtype=jnp.int32)[None]
+        row_ok = (rows >= 0) & (rows <= hl - 1)
+        rows_c = jnp.clip(rows, 0, hl - 1)
+        flat = corr.reshape(P * hl, wl)
+        base = (jnp.arange(P, dtype=jnp.int32) * hl)[:, None]
+        G = jnp.take(flat, (base + rows_c).reshape(-1), axis=0)
+        G = G.reshape(P, Wn, wl) * row_ok[:, :, None].astype(corr.dtype)
+
+        # select the Wn columns [x0-r .. x0+r+1] via a one-hot contraction
+        cols = x0i[:, None] - r + jnp.arange(Wn, dtype=jnp.int32)[None]
+        col_ok = (cols >= 0) & (cols <= wl - 1)
+        onehot = (cols[:, None, :] ==
+                  jnp.arange(wl, dtype=jnp.int32)[None, :, None])
+        onehot = onehot.astype(corr.dtype) * col_ok[:, None, :].astype(corr.dtype)
+        Wnd = jnp.einsum("pab,pbc->pac", G, onehot, precision=_HI)  # [P,Wn,Wn]
+
+        # bilinear combine with the shared fractional offset
+        w00 = ((1 - fy) * (1 - fx))[:, None, None]
+        w01 = ((1 - fy) * fx)[:, None, None]
+        w10 = (fy * (1 - fx))[:, None, None]
+        w11 = (fy * fx)[:, None, None]
+        vals = (Wnd[:, :K, :K] * w00 + Wnd[:, :K, 1:] * w01
+                + Wnd[:, 1:, :K] * w10 + Wnd[:, 1:, 1:] * w11)  # [P,dy,dx]
+        # reference channel order is x-major (its delta grid applies the
+        # FIRST meshgrid axis to x; see corr_lookup) -> transpose (dy,dx)
+        vals = vals.transpose(0, 2, 1)
+        out.append(vals.reshape(N, h, w, K * K))
+    return jnp.concatenate(out, axis=-1)
+
+
 def corr_lookup_alternate(fmap1: jnp.ndarray, pyramid2, coords: jnp.ndarray,
                           radius: int) -> jnp.ndarray:
     """AlternateCorrBlock / alt_cuda_corr equivalent (corr.py:63-91,
@@ -328,7 +388,7 @@ def raft_forward(params: Dict, image1: jnp.ndarray, image2: jnp.ndarray,
                                    radius=cfg.corr_radius)
     else:
         pyramid = all_pairs_corr_pyramid(fmap1, fmap2, cfg.corr_levels)
-        lookup = functools.partial(corr_lookup, pyramid,
+        lookup = functools.partial(corr_lookup_windowed, pyramid,
                                    radius=cfg.corr_radius)
 
     gx, gy = np.meshgrid(np.arange(w, dtype=np.float32),

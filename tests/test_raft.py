@@ -117,3 +117,23 @@ def test_mixed_precision_close_to_f32(raft_setup):
     err = np.abs(np.asarray(p16) - np.asarray(p32))
     assert err.mean() < 0.3, err.mean()  # sub-pixel agreement on average
     assert np.isfinite(np.asarray(p16)).all()
+
+
+def test_windowed_lookup_matches_pointwise(raft_setup):
+    """The row-window lookup must equal the 4-tap pointwise lookup."""
+    from mpiflow_tpu.models.raft import corr_lookup_windowed
+    g, params, img1, img2 = raft_setup
+    x1 = 2 * (img1 / 255.0) - 1
+    x2 = 2 * (img2 / 255.0) - 1
+    f1 = basic_encoder(params, x1, "fnet.", "instance")
+    f2 = basic_encoder(params, x2, "fnet.", "instance")
+    N, h, w, D = f1.shape
+    rng = np.random.RandomState(0)
+    coords = jnp.asarray(
+        (rng.rand(N, h, w, 2) * np.array([w + 6, h + 6]) - 3)
+        .astype(np.float32))  # incl out-of-range (zero-pad semantics)
+    pyramid = all_pairs_corr_pyramid(f1, f2, 4)
+    a = corr_lookup(pyramid, coords, radius=4)
+    b = corr_lookup_windowed(pyramid, coords, radius=4)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4,
+                               atol=1e-4)
