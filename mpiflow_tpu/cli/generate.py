@@ -38,6 +38,12 @@ def build_parser() -> argparse.ArgumentParser:
                    default="adampi",
                    help="MPI predictor: pretrained AdaMPI or network-free")
     p.add_argument("--planes", type=int, default=64)
+    p.add_argument("--render_mode",
+                   choices=["preblocked", "quad", "scan", "batched"],
+                   default="preblocked",
+                   help="MPI warp strategy (see render/mpi.py; all "
+                        "numerically identical -- preblocked is fastest "
+                        "on current TPUs)")
     p.add_argument("--inpaint", choices=["jax", "cv2_ns"], default="jax")
     p.add_argument("--rng", choices=["numpy", "jax"], default="numpy",
                    help="numpy = bit-parity with reference pose streams")
@@ -59,7 +65,8 @@ def make_config(args):
         out=args.out,
         pose=PoseConfig(flavor=args.flavor, ext_cz=args.ext_cz,
                         base_motions=base_map[args.flavor]),
-        render=RenderConfig(num_planes=args.planes, hard_flow=args.hard_flow),
+        render=RenderConfig(num_planes=args.planes, hard_flow=args.hard_flow,
+                            mode=args.render_mode),
         inpaint=InpaintConfig(method=args.inpaint),
         rng_mode=args.rng, resume=not args.no_resume)
 

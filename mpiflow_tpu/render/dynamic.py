@@ -96,14 +96,17 @@ def render_dynamic_sample(mpi_rgb: jnp.ndarray,
 
     Returns DynamicSample with the mixed flow (as [H,W,2]), uint8 src/dst.
     """
-    if mode == "preblocked":
+    if mode in ("preblocked", "quad"):
         # the heavy pose-independent precompute (blend + blocked layout +
         # source weights) is shared by both pose renders; the obj and
-        # background masks differ only in the tracked mask channel
+        # background masks differ only in the tracked mask channel.
+        # "quad" additionally gathers one row per 2x2 output tile (exact,
+        # with a guarded per-pixel fallback -- see render/mpi.py)
         from mpiflow_tpu.render.mpi import (preblock_mpi,
                                             render_novel_view_preblocked)
         pre = preblock_mpi(mpi_rgb, mpi_sigma, disparities, K_src,
-                           src_img=src_img, obj_mask=obj_mask)
+                           src_img=src_img, obj_mask=obj_mask,
+                           halo=5 if mode == "quad" else 3)
         r_obj = render_novel_view_preblocked(pre, disparities, G_obj,
                                              K_src, K_tgt,
                                              flow_clip=flow_clip,

@@ -37,6 +37,14 @@ from mpiflow_tpu.ops.resample import bilinear_sample_border
 
 _HI = jax.lax.Precision.HIGHEST
 
+# Gather from per-plane dynamic-slice scan inputs (False, default) vs. from
+# the flat [S*Nb, rowC] plane stack with per-plane row offsets (True).
+# Measured on v5e: the per-plane slice regime is ~10x faster -- XLA places
+# the 22MB plane slice where the gather has locality, while random-access
+# gathers over the full GB-scale table are HBM-latency bound (bench.py:
+# 2.479 vs 0.253 pairs/s). Kept as a probe knob for future toolchains.
+_FLAT_GATHER = False
+
 
 class NovelView(NamedTuple):
     frame: jnp.ndarray        # [3,H,W] composited target rgb
@@ -329,11 +337,12 @@ class PreblockedMPI(NamedTuple):
     ~70% of the render cost out of the per-pose scans (the in-scan layout
     build was 6.4ms/plane; vectorized over planes it is ~0.5ms/plane).
     """
-    blocked: jnp.ndarray       # [S, Hb*Wb, 9*5]
+    blocked: jnp.ndarray       # [S, Hb*Wb, halo^2*5]
     w_src: jnp.ndarray         # [S,H,W] source-frame compositing weights
     mpi_sigma: jnp.ndarray     # [S,1,H,W] (for parity APIs)
     height: int
     width: int
+    halo: int = 3
 
 
 def preblock_mpi(mpi_rgb: jnp.ndarray, mpi_sigma: jnp.ndarray,
@@ -341,8 +350,12 @@ def preblock_mpi(mpi_rgb: jnp.ndarray, mpi_sigma: jnp.ndarray,
                  src_img: Optional[jnp.ndarray] = None,
                  obj_mask: Optional[jnp.ndarray] = None,
                  cumprod_eps: float = 1e-6,
-                 far_cap: float = 1e3) -> PreblockedMPI:
-    """Precompute the pose-independent half of render_novel_view."""
+                 far_cap: float = 1e3, halo: int = 3) -> PreblockedMPI:
+    """Precompute the pose-independent half of render_novel_view.
+
+    halo=5 enables the quad (one-gather-per-2x2-tile) render path in
+    render_novel_view_preblocked at 25/9 the layout memory; requires even
+    H,W (auto-downgraded to halo=3 otherwise)."""
     from mpiflow_tpu.ops.resample import blocked_source
     S, _, H, W = mpi_rgb.shape
     dtype = mpi_rgb.dtype
@@ -367,9 +380,11 @@ def preblock_mpi(mpi_rgb: jnp.ndarray, mpi_sigma: jnp.ndarray,
     stack = jnp.concatenate(
         [rgb, mpi_sigma, jnp.broadcast_to(obj[None, None], (S, 1, H, W))],
         axis=1)                                               # [S,5,H,W]
-    blocked = jax.vmap(blocked_source)(stack)                 # [S,N,45]
+    if halo == 5 and (H % 2 or W % 2):
+        halo = 3
+    blocked = jax.vmap(lambda s: blocked_source(s, halo))(stack)
     return PreblockedMPI(blocked=blocked, w_src=w_src, mpi_sigma=mpi_sigma,
-                         height=H, width=W)
+                         height=H, width=W, halo=halo)
 
 
 def render_novel_view_preblocked(pre: PreblockedMPI,
@@ -387,8 +402,16 @@ def render_novel_view_preblocked(pre: PreblockedMPI,
 
     invert_mask composites the COMPLEMENT of the tracked mask: bilinear
     warping is affine, so warp(1-m) = 1-warp(m) and the composite is
-    exactly w_sum - obj_acc."""
-    from mpiflow_tpu.ops.resample import bilinear_sample_blocked
+    exactly w_sum - obj_acc.
+
+    With a halo=5 preblock (see preblock_mpi) the gather runs one index per
+    2x2 OUTPUT tile (4x fewer indices on the index-rate-bound TPU gather)
+    whenever every plane warp's local stretch is <= ~2px/px -- checked at
+    runtime (tile2_spread_ok) with a lax.cond falling back to the exact
+    per-pixel path, so numerics are identical for ANY pose."""
+    from mpiflow_tpu.ops.resample import (bilinear_sample_blocked,
+                                          bilinear_sample_blocked_tile2,
+                                          tile2_spread_ok)
     S = pre.blocked.shape[0]
     H, W = pre.height, pre.width
     dtype = pre.blocked.dtype
@@ -415,44 +438,62 @@ def render_novel_view_preblocked(pre: PreblockedMPI,
                  & (coords_all[:, 1] < H) & (coords_all[:, 1] > -1)
                  ).astype(dtype).sum(0)
 
-    def step(carry, xs):
-        (T_tgt_acc, w_sum, rgb_acc, z_acc, obj_acc, flow_acc,
-         wmax, flow_at_max, prev_rgb, prev_sigma, prev_xyz, prev_obj) = carry
-        s_idx, depth_s, coords, flow_s, w_src_s, blocked_s = xs
+    # gather straight from the flattened plane stack with a per-plane row
+    # offset: keeps the (large) blocked tensor out of the scan xs, so no
+    # per-iteration dynamic-slice copy of a plane's layout is materialized
+    halo = pre.halo
+    Nb = pre.blocked.shape[1]
+    blocked_flat = pre.blocked.reshape(S * Nb, pre.blocked.shape[2])
 
-        warped5 = bilinear_sample_blocked(blocked_s, 5, H, W,
-                                          coords.transpose(1, 2, 0))
-        rgb_w = warped5[0:3]
-        sigma_w = warped5[3]
-        obj_w = warped5[4]
-        # analytic warped xyz (linear in the clamped source coords); written
-        # as explicit FMAs to keep it on the VPU
-        xc = jnp.clip(coords[0], 0.0, W - 1.0)
-        yc = jnp.clip(coords[1], 0.0, H - 1.0)
-        xyz_w = (RKinv[:, 0, None, None] * xc[None]
-                 + RKinv[:, 1, None, None] * yc[None]
-                 + RKinv[:, 2, None, None]) * depth_s + t[:, None, None]
-        sigma_w = jnp.where(xyz_w[2] >= 0, sigma_w, 0.0)
+    def make_step(use_quad: bool):
+        sample = (bilinear_sample_blocked_tile2 if use_quad
+                  else bilinear_sample_blocked)
 
-        # source-frame flow accumulation with precomputed weights
-        flow_acc = flow_acc + w_src_s[None] * flow_s
-        take = w_src_s > wmax
-        wmax = jnp.where(take, w_src_s, wmax)
-        flow_at_max = jnp.where(take[None], flow_s, flow_at_max)
+        def step(carry, xs):
+            (T_tgt_acc, w_sum, rgb_acc, z_acc, obj_acc, flow_acc, wmax,
+             flow_at_max, prev_rgb, prev_sigma, prev_xyz, prev_obj) = carry
+            if _FLAT_GATHER:
+                s_idx, depth_s, coords, flow_s, w_src_s = xs
+                warped5 = sample(blocked_flat, 5, H, W,
+                                 coords.transpose(1, 2, 0), halo,
+                                 row_offset=s_idx * Nb)
+            else:
+                s_idx, depth_s, coords, flow_s, w_src_s, blocked_s = xs
+                warped5 = sample(blocked_s, 5, H, W,
+                                 coords.transpose(1, 2, 0), halo)
+            rgb_w = warped5[0:3]
+            sigma_w = warped5[3]
+            obj_w = warped5[4]
+            # analytic warped xyz (linear in the clamped source coords);
+            # written as explicit FMAs to keep it on the VPU
+            xc = jnp.clip(coords[0], 0.0, W - 1.0)
+            yc = jnp.clip(coords[1], 0.0, H - 1.0)
+            xyz_w = (RKinv[:, 0, None, None] * xc[None]
+                     + RKinv[:, 1, None, None] * yc[None]
+                     + RKinv[:, 2, None, None]) * depth_s + t[:, None, None]
+            sigma_w = jnp.where(xyz_w[2] >= 0, sigma_w, 0.0)
 
-        # target-frame compositing of the PREVIOUS plane
-        is_first = s_idx == 0
-        dist_tgt = jnp.linalg.norm(xyz_w - prev_xyz, axis=0)
-        T_p = jnp.exp(-prev_sigma * dist_tgt)
-        w = jnp.where(is_first, zeros_hw, T_tgt_acc * (1.0 - T_p))
-        rgb_acc = rgb_acc + w[None] * prev_rgb
-        z_acc = z_acc + w * prev_xyz[2]
-        obj_acc = obj_acc + w * prev_obj
-        w_sum = w_sum + w
-        T_tgt_acc = jnp.where(is_first, T_tgt_acc,
-                              T_tgt_acc * (T_p + cumprod_eps))
-        return (T_tgt_acc, w_sum, rgb_acc, z_acc, obj_acc, flow_acc,
-                wmax, flow_at_max, rgb_w, sigma_w, xyz_w, obj_w), None
+            # source-frame flow accumulation with precomputed weights
+            flow_acc = flow_acc + w_src_s[None] * flow_s
+            take = w_src_s > wmax
+            wmax = jnp.where(take, w_src_s, wmax)
+            flow_at_max = jnp.where(take[None], flow_s, flow_at_max)
+
+            # target-frame compositing of the PREVIOUS plane
+            is_first = s_idx == 0
+            dist_tgt = jnp.linalg.norm(xyz_w - prev_xyz, axis=0)
+            T_p = jnp.exp(-prev_sigma * dist_tgt)
+            w = jnp.where(is_first, zeros_hw, T_tgt_acc * (1.0 - T_p))
+            rgb_acc = rgb_acc + w[None] * prev_rgb
+            z_acc = z_acc + w * prev_xyz[2]
+            obj_acc = obj_acc + w * prev_obj
+            w_sum = w_sum + w
+            T_tgt_acc = jnp.where(is_first, T_tgt_acc,
+                                  T_tgt_acc * (T_p + cumprod_eps))
+            return (T_tgt_acc, w_sum, rgb_acc, z_acc, obj_acc, flow_acc,
+                    wmax, flow_at_max, rgb_w, sigma_w, xyz_w, obj_w), None
+
+        return step
 
     init = (jnp.ones((H, W), dtype), zeros_hw,
             jnp.zeros((3, H, W), dtype), zeros_hw, zeros_hw,
@@ -460,8 +501,20 @@ def render_novel_view_preblocked(pre: PreblockedMPI,
             jnp.full((H, W), -jnp.inf, dtype), jnp.zeros((2, H, W), dtype),
             jnp.zeros((3, H, W), dtype), zeros_hw,
             jnp.zeros((3, H, W), dtype), zeros_hw)
-    xs = (jnp.arange(S), depths, coords_all, flow_all, pre.w_src, pre.blocked)
-    carry, _ = jax.lax.scan(step, init, xs)
+    xs = (jnp.arange(S), depths, coords_all, flow_all, pre.w_src)
+    if not _FLAT_GATHER:
+        xs = xs + (pre.blocked,)
+    if halo == 5:
+        # quad path if every plane's warp is tile-coherent, else exact
+        # per-pixel fallback (numerics of the two paths are bit-identical
+        # when the predicate holds; the fallback covers when it doesn't)
+        ok = tile2_spread_ok(coords_all.transpose(0, 2, 3, 1), H, W)
+        carry = jax.lax.cond(
+            ok,
+            lambda: jax.lax.scan(make_step(True), init, xs)[0],
+            lambda: jax.lax.scan(make_step(False), init, xs)[0])
+    else:
+        carry, _ = jax.lax.scan(make_step(False), init, xs)
     (T_tgt_acc, w_sum, rgb_acc, z_acc, obj_acc, flow_acc, wmax,
      flow_at_max, prev_rgb, prev_sigma, prev_xyz, prev_obj) = carry
 

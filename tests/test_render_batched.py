@@ -77,6 +77,47 @@ def test_preblocked_mode_matches_scan(golden):
     assert epe.max() < 0.01
 
 
+def test_quad_mode_matches_preblocked_bitexact(golden):
+    """The one-gather-per-2x2-tile renderer must be BIT-equal to the
+    per-pixel preblocked path, both on the golden poses (fast path) and
+    under an extreme forward pose that trips the spread guard into the
+    per-pixel fallback."""
+    from mpiflow_tpu.render.dynamic import render_dynamic_sample
+    from mpiflow_tpu.render.mpi import preblock_mpi
+    g = golden("e2e_dynamic")
+    H, W = g["src_img"].shape[-2:]
+    assert H % 2 == 0 and W % 2 == 0  # quad path really engages
+    args = (jnp.asarray(g["mpi_all"][0, :, 0:3]),
+            jnp.asarray(g["mpi_all"][0, :, 3:4]),
+            jnp.asarray(g["disp"]),
+            jnp.asarray(g["src_img"][0]),
+            jnp.asarray(g["obj_mask"][0, 0]),
+            jnp.asarray(g["G_obj"]), jnp.asarray(g["G_cam"]),
+            jnp.asarray(g["K"]), jnp.asarray(g["K"]))
+    a = render_dynamic_sample(*args, mode="preblocked", inpaint_iters=8)
+    q = render_dynamic_sample(*args, mode="quad", inpaint_iters=8)
+    assert preblock_mpi(args[0], args[1], args[2], args[7],
+                        src_img=args[3], obj_mask=args[4], halo=5).halo == 5
+    np.testing.assert_array_equal(np.asarray(q.flow), np.asarray(a.flow))
+    np.testing.assert_array_equal(np.asarray(q.frame_mix_u8),
+                                  np.asarray(a.frame_mix_u8))
+    np.testing.assert_array_equal(np.asarray(q.holes), np.asarray(a.holes))
+    np.testing.assert_array_equal(np.asarray(q.dst_u8), np.asarray(a.dst_u8))
+
+    # extreme rotation (0.5 rad): local warp stretch exceeds the
+    # tile-coherence bound (verified: tile2_spread_ok is False for this
+    # pose) -> guarded fallback engages, still bit-equal
+    from mpiflow_tpu.geom import transformation_from_parameters
+    G_big = transformation_from_parameters(jnp.asarray([0.5, 0.0, 0.0]),
+                                           jnp.asarray([0.0, 0.0, 0.0]))
+    args_big = args[:5] + (G_big, args[6]) + args[7:]
+    ab = render_dynamic_sample(*args_big, mode="preblocked", inpaint_iters=8)
+    qb = render_dynamic_sample(*args_big, mode="quad", inpaint_iters=8)
+    np.testing.assert_array_equal(np.asarray(qb.flow), np.asarray(ab.flow))
+    np.testing.assert_array_equal(np.asarray(qb.frame_mix_u8),
+                                  np.asarray(ab.frame_mix_u8))
+
+
 def test_diffusion_inpaint_close_to_cv2_ns(golden):
     """On-device diffusion fill vs the reference's cv2 NS inpaint: holes
     within a few u8 levels, non-hole pixels bit-equal (PARITY.md)."""
