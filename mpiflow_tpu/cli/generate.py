@@ -49,6 +49,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="numpy = bit-parity with reference pose streams")
     p.add_argument("--limit", type=int, default=None,
                    help="process only the first N images")
+    p.add_argument("--data_parallel", type=int, default=1,
+                   help="shard generation over N mesh devices (one image "
+                        "per device per wave); 1 = single-chip")
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--hard_flow", action="store_true")
     return p
@@ -68,7 +71,8 @@ def make_config(args):
         render=RenderConfig(num_planes=args.planes, hard_flow=args.hard_flow,
                             mode=args.render_mode),
         inpaint=InpaintConfig(method=args.inpaint),
-        rng_mode=args.rng, resume=not args.no_resume)
+        rng_mode=args.rng, resume=not args.no_resume,
+        mesh_data_axis=args.data_parallel)
 
 
 def main(argv=None) -> int:

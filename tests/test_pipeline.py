@@ -77,6 +77,44 @@ def test_generator_rng_parity_same_output(tmp_path):
     np.testing.assert_array_equal(outs[0], outs[1])
 
 
+def test_generator_data_parallel_matches_single(tmp_path):
+    """Mesh-sharded generation (one image/device over the virtual CPU mesh)
+    must produce the same dataset as the single-chip path, byte for byte,
+    including the ragged final wave."""
+    import jax
+    ndev = len(jax.devices())
+    if ndev < 4:
+        pytest.skip("needs >= 4 virtual devices")
+    base = str(tmp_path / "base")
+    _make_dataset(base, n=5)  # 5 images over 4 devices: one ragged wave
+    out_s = str(tmp_path / "single")
+    out_p = str(tmp_path / "dp")
+    DatasetGenerator(_small_cfg(out_s)).run(base, out_s)
+    stats = DatasetGenerator(
+        _small_cfg(out_p, mesh_data_axis=4)).run(base, out_p)
+    assert stats["images"] == 5
+    assert stats["samples"] == 10
+    assert stats["errors"] == 0
+    for sub in ("flows", "src_images", "dst_images", "obj_mask"):
+        d1, d2 = os.path.join(out_s, sub), os.path.join(out_p, sub)
+        files = sorted(os.listdir(d1))
+        assert files == sorted(os.listdir(d2))
+        for f in files:
+            a = open(os.path.join(d1, f), "rb").read()
+            b = open(os.path.join(d2, f), "rb").read()
+            assert a == b, f"{sub}/{f} differs between single and dp paths"
+
+
+def test_generator_dp_rejects_oversized_mesh(tmp_path):
+    import jax
+    base = str(tmp_path / "base")
+    _make_dataset(base, n=1)
+    out = str(tmp_path / "out")
+    cfg = _small_cfg(out, mesh_data_axis=len(jax.devices()) + 1)
+    with pytest.raises(ValueError, match="devices"):
+        DatasetGenerator(cfg).run(base, out)
+
+
 def test_generator_cv2_inpaint_mode(tmp_path):
     pytest.importorskip("cv2")
     base = str(tmp_path / "base")
