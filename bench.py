@@ -24,8 +24,20 @@ import time
 import numpy as np
 
 H, W, S, REPEAT = 384, 1280, 64, 5
-RENDER_MODE = os.environ.get("MPIFLOW_RENDER_MODE", "preblocked")
+RENDER_MODE = os.environ.get("MPIFLOW_RENDER_MODE", "pallas")
 N_WARMUP, N_ITERS = 1, 4
+
+
+def _resolve_mode():
+    """'pallas' needs backend support (ops/pallas_warp.py probes the Mosaic
+    service); otherwise use the XLA blocked-gather renderer."""
+    if RENDER_MODE != "pallas":
+        return RENDER_MODE
+    from mpiflow_tpu.ops.pallas_warp import (pallas_warp_supported,
+                                             supported_shape)
+    if supported_shape(H, W) and pallas_warp_supported():
+        return "pallas"
+    return "preblocked"
 
 
 def make_inputs(rng):
@@ -64,6 +76,7 @@ def bench_fused():
     K = jnp.asarray(make_intrinsics(W, H))
     disparities = jnp.asarray(mpi_plane_disparities(S))
     G_obj, G_cam = make_poses(REPEAT)
+    mode = _resolve_mode()
 
     @jax.jit
     def generate(img, disp, mask, G_obj, G_cam):
@@ -72,7 +85,7 @@ def bench_fused():
             return render_dynamic_sample(mpi_rgb, mpi_sigma, disparities,
                                          img, mask, Go, Gc, K, K,
                                          inpaint_iters=128,
-                                         mode=RENDER_MODE)
+                                         mode=mode)
         return jax.lax.map(lambda a: one(*a), (G_obj, G_cam))
 
     args = (img, disp, mask, jnp.asarray(G_obj), jnp.asarray(G_cam))

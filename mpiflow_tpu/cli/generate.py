@@ -39,11 +39,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="MPI predictor: pretrained AdaMPI or network-free")
     p.add_argument("--planes", type=int, default=64)
     p.add_argument("--render_mode",
-                   choices=["preblocked", "quad", "scan", "batched"],
-                   default="preblocked",
+                   choices=["pallas", "preblocked", "quad", "scan",
+                            "batched"],
+                   default="pallas",
                    help="MPI warp strategy (see render/mpi.py; all "
-                        "numerically identical -- preblocked is fastest "
-                        "on current TPUs)")
+                        "numerically identical -- pallas is fastest on "
+                        "current TPUs and falls back to preblocked when "
+                        "the backend can't compile the kernel)")
     p.add_argument("--inpaint", choices=["jax", "cv2_ns"], default="jax")
     p.add_argument("--rng", choices=["numpy", "jax"], default="numpy",
                    help="numpy = bit-parity with reference pose streams")

@@ -51,9 +51,13 @@ class RenderConfig:
     flow_clip: float = 200.0          # utils/utils.py:348
     mask_thresh: float = 0.99         # utils/utils.py:171
     hard_flow: bool = False
-    # Renderer execution strategy: "scan" (O(H*W) memory, serial planes) or
-    # "batched" (plane-parallel gathers, materializes the warped stack).
-    mode: str = "preblocked"
+    # Renderer execution strategy: "pallas" (VMEM-tiled warp kernel, 2x the
+    # XLA gather on v5e; exact, guarded fallback -- ops/pallas_warp.py),
+    # "preblocked" (XLA blocked gather), "quad", "scan" (O(H*W) memory,
+    # serial planes) or "batched" (plane-parallel, materializes the stack).
+    # All numerically identical; the generator downgrades "pallas" to
+    # "preblocked" when the backend/resolution can't run the kernel.
+    mode: str = "pallas"
     # Compositing dtype. The reference runs fp16 end-to-end on GPU; we run
     # fp32 (TPU bf16 is too coarse for pixel-accurate flow).
     dtype: str = "float32"

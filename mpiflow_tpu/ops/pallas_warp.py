@@ -1,0 +1,275 @@
+"""Pallas TPU kernel for the MPI warp gather.
+
+The render hot loop is a border-clamped bilinear gather of a 5-channel
+plane stack at homography-warped coordinates. In XLA this is an HBM gather,
+index-rate bound at ~220M indices/s on v5e (ops/resample.py). This kernel
+instead streams table tiles into VMEM with scalar-prefetched, data-dependent
+BlockSpecs and runs the per-pixel lookup as vreg-local `dynamic_gather`s --
+the only gather shape this hardware generation supports natively.
+
+Structure (one plane, output H x W):
+  * table: the halo-3 blocked layout (ops/resample.blocked_source) shaped
+    [9C, Hb, Wb] -- one row index per output pixel covers all 4 bilinear
+    taps of that pixel.
+  * grid: (H/8 output row-bands) x (W/128 output column-chunks).
+  * for each grid step, FOUR table tiles [9C, 8, 128] are fetched at
+    anchors (qby,qbx), (qby+1,qbx), (qby,qbx+1), (qby+1,qbx+1): a logical
+    [9C, 16, 256] window. Anchors are quantized to block units (Pallas
+    blocked indexing), and the doubled extent absorbs the quantization
+    slack, so the window provably covers the chunk's tap windows whenever
+      (by0 mod 8) + span_y <= 15  and  (bx0 mod 128) + span_x <= 255
+    -- true for every warp this pipeline produces (local stretch <= ~2).
+    `pallas_warp_ok` checks it exactly; callers lax.cond to the XLA path
+    otherwise, so numerics are exact for ANY pose.
+  * per output row, the 4 candidate source block-rows around a prefetched
+    per-row base are gathered with `take_along_axis` on [9C,128] vregs
+    (vreg-local => supported) and combined by mask -- no cross-vreg
+    gathers anywhere.
+
+Numerics are BIT-IDENTICAL to ops.resample.bilinear_sample_border /
+bilinear_sample_blocked: same clamped tap bases, same parity tap selection,
+same weight products and sum order (tests/test_pallas_warp.py).
+
+Reference behavior accelerated: homography_sampler.py:149-156
+(grid_sample border, align_corners=False at raw pixel coords).
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# tile geometry (one output band = BAND_H rows x CHUNK_W cols)
+BAND_H = 8
+CHUNK_W = 128
+KY = 8            # table tile height (block-rows); window = 2*KY
+KX = 128          # table tile width (block-cols);  window = 2*KX
+ROW_CANDS = 4     # candidate block-rows per output row (span guard <= 3)
+
+
+def supported_shape(H: int, W: int) -> bool:
+    """Static shape constraints of the kernel's tiling."""
+    Hb, Wb = H // 2, W // 2
+    return (H % (2 * KY) == 0 and W % (2 * KX) == 0
+            and Hb >= 2 * KY and Wb >= 2 * KX)
+
+
+def table_from_image(img: jnp.ndarray) -> jnp.ndarray:
+    """[C,H,W] -> blocked table [9C, Hb, Wb] (halo-3, transposed layout:
+    table[(dy*3+dx)*C + c, yb, xb] = img[c, 2yb+dy, 2xb+dx])."""
+    C, H, W = img.shape
+    Hb, Wb = (H + 1) // 2, (W + 1) // 2
+    pad = jnp.pad(img, ((0, 0), (0, 2 * Hb + 1 - H), (0, 2 * Wb + 1 - W)),
+                  mode="edge")
+    taps = [pad[:, dy:dy + 2 * Hb:2, dx:dx + 2 * Wb:2]
+            for dy in range(3) for dx in range(3)]
+    return jnp.concatenate(taps, axis=0)                    # [9C, Hb, Wb]
+
+
+def _tap_bases(coords: jnp.ndarray, H: int, W: int):
+    """Clamped integer tap bases + fractions, exactly as
+    ops.resample.bilinear_sample_blocked computes them.
+    coords [..., 2] (x, y) -> (x0i, y0i, fx, fy)."""
+    x = jnp.clip(coords[..., 0], 0.0, W - 1.0)
+    y = jnp.clip(coords[..., 1], 0.0, H - 1.0)
+    x0 = jnp.minimum(jnp.floor(x), W - 2.0)
+    y0 = jnp.minimum(jnp.floor(y), H - 2.0)
+    return (x0.astype(jnp.int32), y0.astype(jnp.int32), x - x0, y - y0)
+
+
+def plan_warp(coords: jnp.ndarray, H: int, W: int):
+    """Host(XLA)-side planning for one plane: tile anchors, per-row bases,
+    and the exact coverage predicate.
+
+    coords: [H, W, 2] raw pixel coordinates.
+    Returns (qby [nb,nc], qbx [nb,nc], rowbase [nb,BAND_H,nc] int32,
+             ok [] bool).
+    """
+    Hb, Wb = H // 2, W // 2
+    nb, nc = H // BAND_H, W // CHUNK_W
+    x0i, y0i, _, _ = _tap_bases(coords, H, W)
+    ybl = (y0i >> 1).reshape(nb, BAND_H, nc, CHUNK_W)
+    xbl = (x0i >> 1).reshape(nb, BAND_H, nc, CHUNK_W)
+
+    by_min = ybl.min(axis=(1, 3))
+    by_max = ybl.max(axis=(1, 3))
+    bx_min = xbl.min(axis=(1, 3))
+    bx_max = xbl.max(axis=(1, 3))
+    qby = jnp.minimum(by_min // KY, Hb // KY - 2)
+    qbx = jnp.minimum(bx_min // KX, Wb // KX - 2)
+
+    # per-row candidate base (local to the window)
+    row_min = ybl.min(axis=3)                               # [nb,BAND_H,nc]
+    row_max = ybl.max(axis=3)
+    rowbase = jnp.clip(row_min - qby[:, None, :] * KY, 0,
+                       2 * KY - ROW_CANDS)
+
+    ok = ((by_max - qby * KY <= 2 * KY - 1).all()
+          & (bx_max - qbx * KX <= 2 * KX - 1).all()
+          & (by_min - qby * KY >= 0).all()
+          & (bx_min - qbx * KX >= 0).all()
+          & (row_max - row_min <= ROW_CANDS - 1).all())
+    return (qby.astype(jnp.int32), qbx.astype(jnp.int32),
+            rowbase.astype(jnp.int32), ok)
+
+
+def _warp_band_kernel(qby_ref, qbx_ref, rowbase_ref,
+                      t00_ref, t01_ref, t10_ref, t11_ref, coords_ref,
+                      out_ref, *, C: int, H: int, W: int):
+    """One (band, chunk) step.
+
+    t{y}{x}_ref: the four [9C, KY, KX] table tiles of the logical window.
+    coords_ref: [2, BAND_H, CHUNK_W]; out_ref: [C, BAND_H, CHUNK_W].
+    """
+    iy = pl.program_id(0)
+    ix = pl.program_id(1)
+    base_y = qby_ref[iy, ix] * KY
+    base_x = qbx_ref[iy, ix] * KX
+
+    for i in range(BAND_H):
+        cxy = coords_ref[:, i, :]                           # [2, 128]
+        x = jnp.clip(cxy[0:1], 0.0, W - 1.0)
+        y = jnp.clip(cxy[1:2], 0.0, H - 1.0)
+        x0 = jnp.minimum(jnp.floor(x), W - 2.0)
+        y0 = jnp.minimum(jnp.floor(y), H - 2.0)
+        fx = x - x0                                         # [1, 128]
+        fy = y - y0
+        x0i = x0.astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
+        ly = (y0i >> 1) - base_y                            # [1,128] in [0,2KY)
+        lx = (x0i >> 1) - base_x                            # [1,128] in [0,2KX)
+        oy = y0i & 1
+        ox = x0i & 1
+
+        lx_lo = jnp.broadcast_to(jnp.clip(lx, 0, KX - 1), (9 * C, CHUNK_W))
+        lx_hi = jnp.broadcast_to(jnp.clip(lx - KX, 0, KX - 1),
+                                 (9 * C, CHUNK_W))
+        in_hi_x = lx >= KX                                  # [1, 128]
+        rb = rowbase_ref[iy, i, ix]                         # scalar in [0,2KY)
+
+        rows = jnp.zeros((9 * C, CHUNK_W), t00_ref.dtype)
+        for j in range(ROW_CANDS):
+            r = rb + j                                      # dynamic, [0,2KY)
+            r_lo = jnp.minimum(r, KY - 1)
+            r_hi = jnp.minimum(jnp.maximum(r - KY, 0), KY - 1)
+            in_hi_y = r >= KY
+            # the candidate block-row, from the right y-tile pair
+            lo_y = jnp.where(in_hi_y,
+                             t10_ref[:, pl.dslice(r_hi, 1), :],
+                             t00_ref[:, pl.dslice(r_lo, 1), :])[:, 0, :]
+            hi_y = jnp.where(in_hi_y,
+                             t11_ref[:, pl.dslice(r_hi, 1), :],
+                             t01_ref[:, pl.dslice(r_lo, 1), :])[:, 0, :]
+            g_lo = jnp.take_along_axis(lo_y, lx_lo, axis=1)  # [9C, 128]
+            g_hi = jnp.take_along_axis(hi_y, lx_hi, axis=1)
+            cand = jnp.where(in_hi_x, g_hi, g_lo)
+            rows = rows + jnp.where(ly == r, cand, 0.0)
+
+        def tap(dy, dx):
+            def patch(a, b):
+                t = a * 3 + b
+                return rows[t * C:(t + 1) * C, :]           # [C, 128]
+            v00 = patch(dy, dx)
+            v01 = patch(dy, dx + 1)
+            v10 = patch(dy + 1, dx)
+            v11 = patch(dy + 1, dx + 1)
+            return jnp.where(oy == 0, jnp.where(ox == 0, v00, v01),
+                             jnp.where(ox == 0, v10, v11))
+
+        w00 = (1 - fy) * (1 - fx)
+        w01 = (1 - fy) * fx
+        w10 = fy * (1 - fx)
+        w11 = fy * fx
+        out_ref[:, i, :] = (tap(0, 0) * w00 + tap(0, 1) * w01
+                            + tap(1, 0) * w10 + tap(1, 1) * w11)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_channels", "H", "W", "interpret"))
+def warp_plane_pallas(table: jnp.ndarray, coords: jnp.ndarray,
+                      qby: jnp.ndarray, qbx: jnp.ndarray,
+                      rowbase: jnp.ndarray, num_channels: int,
+                      H: int, W: int, interpret: bool = False) -> jnp.ndarray:
+    """Warp one plane. table [9C,Hb,Wb]; coords [H,W,2]; planning arrays
+    from `plan_warp`. Returns [C,H,W]; bit-identical to
+    bilinear_sample_border(img, coords) whenever plan_warp's `ok` holds.
+    """
+    C = num_channels
+    nb, nc = H // BAND_H, W // CHUNK_W
+    cT = coords.transpose(2, 0, 1)                          # [2, H, W]
+
+    def y_lo(iy, ix, qby, qbx, rb):
+        return (0, qby[iy, ix], qbx[iy, ix])
+
+    def y_hi(iy, ix, qby, qbx, rb):
+        return (0, qby[iy, ix] + 1, qbx[iy, ix])
+
+    def x_hi(iy, ix, qby, qbx, rb):
+        return (0, qby[iy, ix], qbx[iy, ix] + 1)
+
+    def yx_hi(iy, ix, qby, qbx, rb):
+        return (0, qby[iy, ix] + 1, qbx[iy, ix] + 1)
+
+    out = pl.pallas_call(
+        functools.partial(_warp_band_kernel, C=C, H=H, W=W),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(nb, nc),
+            in_specs=[
+                pl.BlockSpec((9 * C, KY, KX), y_lo),
+                pl.BlockSpec((9 * C, KY, KX), x_hi),
+                pl.BlockSpec((9 * C, KY, KX), y_hi),
+                pl.BlockSpec((9 * C, KY, KX), yx_hi),
+                pl.BlockSpec((2, BAND_H, CHUNK_W),
+                             lambda iy, ix, *_: (0, iy, ix)),
+            ],
+            out_specs=pl.BlockSpec((C, BAND_H, CHUNK_W),
+                                   lambda iy, ix, *_: (0, iy, ix)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((C, H, W), table.dtype),
+        interpret=interpret,
+    )(qby, qbx, rowbase, table, table, table, table, cT)
+    return out
+
+
+def bilinear_sample_pallas(img: jnp.ndarray, coords: jnp.ndarray,
+                           interpret: bool = False):
+    """Convenience wrapper: (img [C,H,W], coords [H,W,2]) ->
+    (warped [C,H,W], ok bool). Callers must fall back to the XLA sampler
+    when `ok` is False (lax.cond); see render/mpi.py."""
+    C, H, W = img.shape
+    table = table_from_image(img)
+    qby, qbx, rowbase, ok = plan_warp(coords, H, W)
+    out = warp_plane_pallas(table, coords, qby, qbx, rowbase, C, H, W,
+                            interpret=interpret)
+    return out, ok
+
+
+_SUPPORTED = None
+
+
+def pallas_warp_supported(H: int = 32, W: int = 512) -> bool:
+    """True if the current backend compiles+runs the warp kernel correctly
+    (some remote Mosaic services reject parts of Pallas; probe once)."""
+    global _SUPPORTED
+    if _SUPPORTED is None:
+        try:
+            from mpiflow_tpu.ops.resample import bilinear_sample_border
+            rng = np.random.RandomState(0)
+            img = jnp.asarray(rng.rand(2, H, W).astype(np.float32))
+            yy, xx = np.meshgrid(np.arange(H, dtype=np.float32),
+                                 np.arange(W, dtype=np.float32),
+                                 indexing="ij")
+            coords = jnp.asarray(
+                np.stack([xx * 1.1 - 3 + 0.02 * yy, yy * 0.9 + 1], -1))
+            out, ok = bilinear_sample_pallas(img, coords)
+            ref = bilinear_sample_border(img, coords)
+            _SUPPORTED = bool(ok) and bool(
+                (np.asarray(out) == np.asarray(ref)).all())
+        except Exception:  # pragma: no cover - environment dependent
+            _SUPPORTED = False
+    return _SUPPORTED

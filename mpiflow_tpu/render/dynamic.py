@@ -96,17 +96,20 @@ def render_dynamic_sample(mpi_rgb: jnp.ndarray,
 
     Returns DynamicSample with the mixed flow (as [H,W,2]), uint8 src/dst.
     """
-    if mode in ("preblocked", "quad"):
+    if mode in ("preblocked", "quad", "pallas"):
         # the heavy pose-independent precompute (blend + blocked layout +
         # source weights) is shared by both pose renders; the obj and
         # background masks differ only in the tracked mask channel.
-        # "quad" additionally gathers one row per 2x2 output tile (exact,
-        # with a guarded per-pixel fallback -- see render/mpi.py)
+        # "quad" gathers one row per 2x2 output tile; "pallas" runs the
+        # VMEM-tiled warp kernel (2x the XLA gather on v5e) -- both exact,
+        # with guarded per-pixel fallbacks (see render/mpi.py,
+        # ops/pallas_warp.py)
         from mpiflow_tpu.render.mpi import (preblock_mpi,
                                             render_novel_view_preblocked)
         pre = preblock_mpi(mpi_rgb, mpi_sigma, disparities, K_src,
                            src_img=src_img, obj_mask=obj_mask,
-                           halo=5 if mode == "quad" else 3)
+                           halo=5 if mode == "quad" else 3,
+                           pallas=mode == "pallas")
         r_obj = render_novel_view_preblocked(pre, disparities, G_obj,
                                              K_src, K_tgt,
                                              flow_clip=flow_clip,

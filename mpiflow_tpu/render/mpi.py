@@ -337,12 +337,13 @@ class PreblockedMPI(NamedTuple):
     ~70% of the render cost out of the per-pose scans (the in-scan layout
     build was 6.4ms/plane; vectorized over planes it is ~0.5ms/plane).
     """
-    blocked: jnp.ndarray       # [S, Hb*Wb, halo^2*5]
+    blocked: jnp.ndarray       # [S, Hb*Wb, halo^2*5] ([S,45,Hb,Wb] if pallas)
     w_src: jnp.ndarray         # [S,H,W] source-frame compositing weights
     mpi_sigma: jnp.ndarray     # [S,1,H,W] (for parity APIs)
     height: int
     width: int
     halo: int = 3
+    pallas: bool = False       # blocked holds the pallas table layout
 
 
 def preblock_mpi(mpi_rgb: jnp.ndarray, mpi_sigma: jnp.ndarray,
@@ -350,12 +351,15 @@ def preblock_mpi(mpi_rgb: jnp.ndarray, mpi_sigma: jnp.ndarray,
                  src_img: Optional[jnp.ndarray] = None,
                  obj_mask: Optional[jnp.ndarray] = None,
                  cumprod_eps: float = 1e-6,
-                 far_cap: float = 1e3, halo: int = 3) -> PreblockedMPI:
+                 far_cap: float = 1e3, halo: int = 3,
+                 pallas: bool = False) -> PreblockedMPI:
     """Precompute the pose-independent half of render_novel_view.
 
     halo=5 enables the quad (one-gather-per-2x2-tile) render path in
     render_novel_view_preblocked at 25/9 the layout memory; requires even
-    H,W (auto-downgraded to halo=3 otherwise)."""
+    H,W (auto-downgraded to halo=3 otherwise). pallas=True builds the
+    [S,9C,Hb,Wb] table layout for the Pallas warp kernel
+    (ops/pallas_warp.py; auto-downgraded when the shape is unsupported)."""
     from mpiflow_tpu.ops.resample import blocked_source
     S, _, H, W = mpi_rgb.shape
     dtype = mpi_rgb.dtype
@@ -380,6 +384,14 @@ def preblock_mpi(mpi_rgb: jnp.ndarray, mpi_sigma: jnp.ndarray,
     stack = jnp.concatenate(
         [rgb, mpi_sigma, jnp.broadcast_to(obj[None, None], (S, 1, H, W))],
         axis=1)                                               # [S,5,H,W]
+    if pallas:
+        from mpiflow_tpu.ops.pallas_warp import (supported_shape,
+                                                 table_from_image)
+        if supported_shape(H, W):
+            blocked = jax.vmap(table_from_image)(stack)   # [S,45,Hb,Wb]
+            return PreblockedMPI(blocked=blocked, w_src=w_src,
+                                 mpi_sigma=mpi_sigma, height=H, width=W,
+                                 pallas=True)
     if halo == 5 and (H % 2 or W % 2):
         halo = 3
     blocked = jax.vmap(lambda s: blocked_source(s, halo))(stack)
@@ -438,29 +450,17 @@ def render_novel_view_preblocked(pre: PreblockedMPI,
                  & (coords_all[:, 1] < H) & (coords_all[:, 1] > -1)
                  ).astype(dtype).sum(0)
 
-    # gather straight from the flattened plane stack with a per-plane row
-    # offset: keeps the (large) blocked tensor out of the scan xs, so no
-    # per-iteration dynamic-slice copy of a plane's layout is materialized
     halo = pre.halo
-    Nb = pre.blocked.shape[1]
-    blocked_flat = pre.blocked.reshape(S * Nb, pre.blocked.shape[2])
 
-    def make_step(use_quad: bool):
-        sample = (bilinear_sample_blocked_tile2 if use_quad
-                  else bilinear_sample_blocked)
+    def make_step(warp_fn):
+        """Scan step; warp_fn(s_idx, coords_hw2, extra_xs) -> warped [5,H,W]
+        selects the gather strategy (XLA blocked / quad / pallas kernel)."""
 
         def step(carry, xs):
             (T_tgt_acc, w_sum, rgb_acc, z_acc, obj_acc, flow_acc, wmax,
              flow_at_max, prev_rgb, prev_sigma, prev_xyz, prev_obj) = carry
-            if _FLAT_GATHER:
-                s_idx, depth_s, coords, flow_s, w_src_s = xs
-                warped5 = sample(blocked_flat, 5, H, W,
-                                 coords.transpose(1, 2, 0), halo,
-                                 row_offset=s_idx * Nb)
-            else:
-                s_idx, depth_s, coords, flow_s, w_src_s, blocked_s = xs
-                warped5 = sample(blocked_s, 5, H, W,
-                                 coords.transpose(1, 2, 0), halo)
+            s_idx, depth_s, coords, flow_s, w_src_s = xs[:5]
+            warped5 = warp_fn(s_idx, coords.transpose(1, 2, 0), xs[5:])
             rgb_w = warped5[0:3]
             sigma_w = warped5[3]
             obj_w = warped5[4]
@@ -502,19 +502,57 @@ def render_novel_view_preblocked(pre: PreblockedMPI,
             jnp.zeros((3, H, W), dtype), zeros_hw,
             jnp.zeros((3, H, W), dtype), zeros_hw)
     xs = (jnp.arange(S), depths, coords_all, flow_all, pre.w_src)
-    if not _FLAT_GATHER:
-        xs = xs + (pre.blocked,)
-    if halo == 5:
+
+    def xla_warp(halo_, use_quad):
+        sample = (bilinear_sample_blocked_tile2 if use_quad
+                  else bilinear_sample_blocked)
+        if _FLAT_GATHER:
+            Nb = pre.blocked.shape[1]
+            flat = pre.blocked.reshape(S * Nb, pre.blocked.shape[2])
+            return lambda s_idx, c, extra: sample(
+                flat, 5, H, W, c, halo_, row_offset=s_idx * Nb)
+        return lambda s_idx, c, extra: sample(extra[0], 5, H, W, c, halo_)
+
+    if pre.pallas:
+        # Pallas warp kernel path with an exact-coverage guard; the
+        # fallback re-lays the tables out for the XLA sampler (only
+        # executed -- and only worth paying for -- on extreme warps)
+        from mpiflow_tpu.ops.pallas_warp import plan_warp, warp_plane_pallas
+        interp = jax.default_backend() == "cpu"
+        qby, qbx, rowbase, oks = jax.vmap(
+            lambda c: plan_warp(c, H, W))(coords_all.transpose(0, 2, 3, 1))
+        ok = oks.all()
+        xs_p = xs + (pre.blocked, qby, qbx, rowbase)
+
+        def pallas_warp(s_idx, c, extra):
+            table_s, qby_s, qbx_s, rb_s = extra
+            return warp_plane_pallas(table_s, c, qby_s, qbx_s, rb_s,
+                                     5, H, W, interpret=interp)
+
+        def fallback_warp(s_idx, c, extra):
+            table_s = extra[0]                            # [45,Hb,Wb]
+            blocked_s = table_s.reshape(45, -1).T         # [Nb,45]
+            return bilinear_sample_blocked(blocked_s, 5, H, W, c)
+
+        carry = jax.lax.cond(
+            ok,
+            lambda: jax.lax.scan(make_step(pallas_warp), init, xs_p)[0],
+            lambda: jax.lax.scan(make_step(fallback_warp), init, xs_p)[0])
+    elif halo == 5:
         # quad path if every plane's warp is tile-coherent, else exact
         # per-pixel fallback (numerics of the two paths are bit-identical
         # when the predicate holds; the fallback covers when it doesn't)
+        if not _FLAT_GATHER:
+            xs = xs + (pre.blocked,)
         ok = tile2_spread_ok(coords_all.transpose(0, 2, 3, 1), H, W)
         carry = jax.lax.cond(
             ok,
-            lambda: jax.lax.scan(make_step(True), init, xs)[0],
-            lambda: jax.lax.scan(make_step(False), init, xs)[0])
+            lambda: jax.lax.scan(make_step(xla_warp(5, True)), init, xs)[0],
+            lambda: jax.lax.scan(make_step(xla_warp(5, False)), init, xs)[0])
     else:
-        carry, _ = jax.lax.scan(make_step(False), init, xs)
+        if not _FLAT_GATHER:
+            xs = xs + (pre.blocked,)
+        carry, _ = jax.lax.scan(make_step(xla_warp(halo, False)), init, xs)
     (T_tgt_acc, w_sum, rgb_acc, z_acc, obj_acc, flow_acc, wmax,
      flow_at_max, prev_rgb, prev_sigma, prev_xyz, prev_obj) = carry
 
