@@ -119,7 +119,7 @@ def plan_warp(coords: jnp.ndarray, H: int, W: int):
 
 def _warp_band_kernel(qby_ref, qbx_ref, rowbase_ref,
                       t00_ref, t01_ref, t10_ref, t11_ref, coords_ref,
-                      out_ref, *, C: int, H: int, W: int):
+                      out_ref, lo_ref, hi_ref, *, C: int, H: int, W: int):
     """One (band, chunk) step.
 
     t{y}{x}_ref: the four [9C, KY, KX] table tiles of the logical window.
@@ -129,6 +129,14 @@ def _warp_band_kernel(qby_ref, qbx_ref, rowbase_ref,
     ix = pl.program_id(1)
     base_y = qby_ref[iy, ix] * KY
     base_x = qbx_ref[iy, ix] * KX
+
+    # merge the y-tile pairs into VMEM scratch once per step so the per-row
+    # candidate loop does ONE dynamic-slice load per (candidate, x-group)
+    # instead of two loads + a select (dynamic slicing works on refs only)
+    lo_ref[:, 0:KY, :] = t00_ref[...]
+    lo_ref[:, KY:2 * KY, :] = t10_ref[...]
+    hi_ref[:, 0:KY, :] = t01_ref[...]
+    hi_ref[:, KY:2 * KY, :] = t11_ref[...]
 
     for i in range(BAND_H):
         cxy = coords_ref[:, i, :]                           # [2, 128]
@@ -154,16 +162,8 @@ def _warp_band_kernel(qby_ref, qbx_ref, rowbase_ref,
         rows = jnp.zeros((9 * C, CHUNK_W), t00_ref.dtype)
         for j in range(ROW_CANDS):
             r = rb + j                                      # dynamic, [0,2KY)
-            r_lo = jnp.minimum(r, KY - 1)
-            r_hi = jnp.minimum(jnp.maximum(r - KY, 0), KY - 1)
-            in_hi_y = r >= KY
-            # the candidate block-row, from the right y-tile pair
-            lo_y = jnp.where(in_hi_y,
-                             t10_ref[:, pl.dslice(r_hi, 1), :],
-                             t00_ref[:, pl.dslice(r_lo, 1), :])[:, 0, :]
-            hi_y = jnp.where(in_hi_y,
-                             t11_ref[:, pl.dslice(r_hi, 1), :],
-                             t01_ref[:, pl.dslice(r_lo, 1), :])[:, 0, :]
+            lo_y = lo_ref[:, pl.dslice(r, 1), :][:, 0, :]
+            hi_y = hi_ref[:, pl.dslice(r, 1), :][:, 0, :]
             g_lo = jnp.take_along_axis(lo_y, lx_lo, axis=1)  # [9C, 128]
             g_hi = jnp.take_along_axis(hi_y, lx_hi, axis=1)
             cand = jnp.where(in_hi_x, g_hi, g_lo)
@@ -229,6 +229,10 @@ def warp_plane_pallas(table: jnp.ndarray, coords: jnp.ndarray,
             ],
             out_specs=pl.BlockSpec((C, BAND_H, CHUNK_W),
                                    lambda iy, ix, *_: (0, iy, ix)),
+            scratch_shapes=[
+                pltpu.VMEM((9 * C, 2 * KY, KX), table.dtype),
+                pltpu.VMEM((9 * C, 2 * KY, KX), table.dtype),
+            ],
         ),
         out_shape=jax.ShapeDtypeStruct((C, H, W), table.dtype),
         interpret=interpret,
