@@ -345,7 +345,7 @@ def adampi_forward(params: Dict, image: jnp.ndarray, disp: jnp.ndarray,
 
 
 def load_adampi_predictor(ckpt_path: str, width: int, height: int,
-                          use_dpn: bool = False, plane_chunk: int = 8,
+                          use_dpn: bool = False, plane_chunk: int = 16,
                           compute_dtype=jnp.bfloat16):
     """Load adampi_64p.pth (keys {'num_planes','weight'},
     gen_3dphoto_dynamic_v2.py:52-58) and return an MPIPredictFn for the
