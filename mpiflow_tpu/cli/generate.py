@@ -55,6 +55,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="shard generation over N mesh devices (one image "
                         "per device per wave); 1 = single-chip")
     p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--profile", action="store_true",
+                   help="report per-stage wall-clock means in the summary")
     p.add_argument("--hard_flow", action="store_true")
     return p
 
@@ -101,7 +103,8 @@ def main(argv=None) -> int:
 
     from mpiflow_tpu.pipeline import DatasetGenerator
     gen = DatasetGenerator(cfg, mpi_predict_fn=mpi_fn)
-    stats = gen.run(args.base, args.out, limit=args.limit)
+    stats = gen.run(args.base, args.out, limit=args.limit,
+                    profile=args.profile)
     print(json.dumps(stats))
     return 0
 

@@ -192,3 +192,28 @@ class Trainer:
         data = dict(np.load(path))
         step = int(data.pop("__step__", 0))
         return data, step
+
+    # ---- orbax variants: full train-state (params + optimizer) ---------
+    def save_orbax(self, state: TrainState, ckpt_dir: str):
+        """Checkpoint params AND optimizer state with orbax (exact resume;
+        the reference restarts its optimizer on --restore_ckpt)."""
+        import orbax.checkpoint as ocp
+        path = os.path.abspath(os.path.join(ckpt_dir, f"step_{state.step}"))
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(path, {"params": state.params,
+                              "opt_state": state.opt_state,
+                              "step": state.step})
+
+    def restore_orbax(self, ckpt_dir: str, step: int,
+                      like: TrainState) -> TrainState:
+        """`like` supplies the pytree structure (e.g. init_state(params))
+        so optax NamedTuple states restore with their types intact."""
+        import orbax.checkpoint as ocp
+        path = os.path.abspath(os.path.join(ckpt_dir, f"step_{step}"))
+        with ocp.StandardCheckpointer() as ckptr:
+            tree = ckptr.restore(path, {"params": like.params,
+                                        "opt_state": like.opt_state,
+                                        "step": like.step})
+        return TrainState(params=tree["params"],
+                          opt_state=tree["opt_state"],
+                          step=int(tree["step"]))

@@ -123,3 +123,41 @@ def test_dp_train_step_on_mesh():
     # params must have actually changed
     diff = sum(float(jnp.abs(params2[k] - params[k]).sum()) for k in params)
     assert diff > 0
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    """save_orbax/restore_orbax must round-trip params + optimizer state
+    (exact resume -- an upgrade over the reference, which restarts its
+    optimizer on --restore_ckpt)."""
+    from mpiflow_tpu.cli.train_raft import init_random_params
+    from mpiflow_tpu.train.raft_train import Trainer
+    pytest_orbax = __import__("pytest").importorskip("orbax.checkpoint")
+    cfg = TrainConfig(lr=1e-3, num_steps=10, iters=2, batch_size=1,
+                      image_size=(64, 96))
+    tr = Trainer(cfg, RAFTConfig.small_config(), log_fn=lambda *a: None)
+    params = {k: jnp.asarray(v)
+              for k, v in init_random_params(small=True, seed=0).items()}
+    state = tr.init_state(params)
+    # advance one step so opt_state is non-trivial
+    rng = np.random.RandomState(0)
+    b = (jnp.asarray(rng.rand(1, 64, 96, 3).astype(np.float32) * 255),
+         jnp.asarray(rng.rand(1, 64, 96, 3).astype(np.float32) * 255),
+         jnp.asarray(rng.randn(1, 64, 96, 2).astype(np.float32)),
+         jnp.ones((1, 64, 96), jnp.float32))
+    state.params, state.opt_state, _ = tr.step_fn(state.params,
+                                                  state.opt_state, *b)
+    state.step = 1
+    tr.save_orbax(state, str(tmp_path))
+    like = tr.init_state(params)
+    like.step = 0
+    restored = tr.restore_orbax(str(tmp_path), 1, like)
+    assert restored.step == 1
+    for k in state.params:
+        np.testing.assert_array_equal(np.asarray(restored.params[k]),
+                                      np.asarray(state.params[k]))
+    # optimizer state round-trips with structure intact (usable for update)
+    import optax
+    upd, _ = tr.tx.update(
+        jax.tree_util.tree_map(jnp.zeros_like, restored.params),
+        restored.opt_state, restored.params)
+    jax.block_until_ready(upd)
