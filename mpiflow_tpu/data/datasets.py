@@ -316,12 +316,43 @@ def fetch_dataset(stage: str, data_root: str, crop_size,
         aug = {"crop_size": crop_size, "min_scale": -0.1, "max_scale": 1.0,
                "do_flip": True}
         return FlyingChairsPairs(data_root, "training", aug, seed=seed)
+    if stage == "things":
+        aug = {"crop_size": crop_size, "min_scale": -0.4, "max_scale": 0.8,
+               "do_flip": True}
+        return (FlyingThingsPairs(data_root, "frames_cleanpass", aug,
+                                  seed=seed)
+                + FlyingThingsPairs(data_root, "frames_finalpass", aug,
+                                    seed=seed))
     if stage == "sintel":
+        # reference sintel stage = a weighted mixture (datasets.py:227-240):
+        # 100x clean + 100x final [+ 200x KITTI + 5x HD1K] + Things, with
+        # per-dataset aug params. data_root must contain Sintel/ [,
+        # FlyingThings3D/, KITTI/, HD1K/] subdirs (the reference hardcodes
+        # the same layout under datasets/). Falls back to clean+final when
+        # the extra roots are absent.
         aug = {"crop_size": crop_size, "min_scale": -0.2, "max_scale": 0.6,
                "do_flip": True}
-        clean = SintelPairs(data_root, "training", "clean", aug, seed=seed)
-        final = SintelPairs(data_root, "training", "final", aug, seed=seed)
-        return clean + final
+        sroot = (os.path.join(data_root, "Sintel")
+                 if os.path.isdir(os.path.join(data_root, "Sintel"))
+                 else data_root)
+        clean = SintelPairs(sroot, "training", "clean", aug, seed=seed)
+        final = SintelPairs(sroot, "training", "final", aug, seed=seed)
+        ds = 100 * clean + 100 * final
+        troot = os.path.join(data_root, "FlyingThings3D")
+        if os.path.isdir(troot):
+            ds = ds + FlyingThingsPairs(troot, "frames_cleanpass", aug,
+                                        seed=seed)
+        kroot = os.path.join(data_root, "KITTI")
+        if os.path.isdir(kroot):
+            kaug = {"crop_size": crop_size, "min_scale": -0.3,
+                    "max_scale": 0.5, "do_flip": True}
+            ds = ds + 200 * KITTIPairs(kroot, "training", kaug, seed=seed)
+        hroot = os.path.join(data_root, "HD1K")
+        if os.path.isdir(hroot):
+            haug = {"crop_size": crop_size, "min_scale": -0.5,
+                    "max_scale": 0.2, "do_flip": True}
+            ds = ds + 5 * HD1KPairs(hroot, haug, seed=seed)
+        return ds
     raise ValueError(f"unknown stage {stage}")
 
 

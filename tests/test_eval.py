@@ -132,3 +132,54 @@ def test_kitti_submission_writer(tmp_path):
         ev._make_infer = orig
     flow, valid = read_flow_kitti(os.path.join(out_dir, "000000_10.png"))
     np.testing.assert_allclose(flow, 2.5, atol=1e-6)
+
+
+def test_fetch_dataset_things_and_sintel_mixture(tmp_path):
+    """Stage map parity with the reference's fetch_dataloader
+    (RAFT/core/datasets.py:213-252): 'things' = clean+final passes;
+    'sintel' = 100x clean + 100x final (+ weighted KITTI/HD1K/Things when
+    present under data_root)."""
+    import numpy as np
+    from mpiflow_tpu.data.datasets import fetch_dataset
+    from mpiflow_tpu.io.image import save_image_u8
+    from mpiflow_tpu.io.flo import write_flo
+
+    # fake Sintel: 1 scene, 3 frames -> 2 pairs per pass
+    sroot = tmp_path / "Sintel" / "training"
+    for dstype in ("clean", "final"):
+        d = sroot / dstype / "alley_1"
+        d.mkdir(parents=True)
+        for i in range(3):
+            save_image_u8(str(d / f"frame_{i:04d}.png"),
+                          np.zeros((16, 16, 3), np.uint8))
+    f = sroot / "flow" / "alley_1"
+    f.mkdir(parents=True)
+    for i in range(2):
+        write_flo(str(f / f"frame_{i:04d}.flo"), np.zeros((16, 16, 2),
+                                                          np.float32))
+    ds = fetch_dataset("sintel", str(tmp_path), (8, 8))
+    assert len(ds) == 100 * 2 + 100 * 2
+
+    # fake FlyingThings: minimal TRAIN tree with 2 frames -> 1 pair/pass
+    troot = tmp_path / "things"
+    for dstype in ("frames_cleanpass", "frames_finalpass"):
+        d = troot / dstype / "TRAIN" / "A" / "0000" / "left"
+        d.mkdir(parents=True)
+        for i in range(2):
+            save_image_u8(str(d / f"{i:04d}.png"),
+                          np.zeros((16, 16, 3), np.uint8))
+    fd = troot / "optical_flow" / "TRAIN" / "A" / "0000"
+    for direction in ("into_future", "into_past"):
+        (fd / direction / "left").mkdir(parents=True)
+    # PFM flows
+    import struct
+    for direction in ("into_future", "into_past"):
+        for i in range(2):
+            p = fd / direction / "left" / f"{i:04d}.pfm"
+            flo = np.zeros((16, 16, 3), np.float32)
+            with open(p, "wb") as fh:
+                fh.write(b"PF\n16 16\n-1.0\n")
+                fh.write(flo.tobytes())
+    ds_t = fetch_dataset("things", str(troot), (8, 8))
+    # 1 pair per (pass, direction): clean/final x into_future/into_past
+    assert len(ds_t) == 4
