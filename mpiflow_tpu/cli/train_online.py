@@ -18,7 +18,6 @@ import logging
 
 
 def build_parser():
-    from mpiflow_tpu.cli.generate import build_parser as gen_parser
     p = argparse.ArgumentParser()
     # generation side (reference gen flags)
     p.add_argument("--base", required=True)
@@ -60,7 +59,6 @@ def main(argv=None) -> int:
 
     import numpy as np
     import jax
-    import jax.numpy as jnp
     jax.config.update("jax_compilation_cache_dir",
                       f"/tmp/mpiflow_jax_cache_{jax.default_backend()}")
 

@@ -12,7 +12,7 @@ import os
 import glob
 import queue
 import threading
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 

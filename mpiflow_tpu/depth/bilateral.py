@@ -21,10 +21,8 @@ but named by the north star; exposed as an optional preprocessing stage.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
-import numpy as np
-import jax
 import jax.numpy as jnp
 
 

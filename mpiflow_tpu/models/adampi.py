@@ -19,7 +19,6 @@ of the convs (the reference's (B*S, C, H, W) reshape), NHWC on TPU.
 """
 from __future__ import annotations
 
-import functools
 from typing import Dict, List, Tuple
 
 import numpy as np
@@ -28,7 +27,7 @@ import jax.numpy as jnp
 
 from mpiflow_tpu.geom.homography import mpi_plane_disparities
 from mpiflow_tpu.models.nn import (
-    P, adaptive_avg_pool, batch_norm, conv2d, conv_bn_act, elu, leaky_relu,
+    P, batch_norm, conv2d, conv_bn_act, elu, leaky_relu,
     linear, max_pool, relu, upsample_bilinear_align_corners, upsample_nearest,
     reflection_pad,
 )

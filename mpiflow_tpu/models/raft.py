@@ -19,7 +19,7 @@ mpiflow_tpu.models.torch_convert (nn.DataParallel "module." prefix stripped).
 from __future__ import annotations
 
 import functools
-from typing import Dict, NamedTuple, Optional, Tuple
+from typing import Dict, Optional
 
 import numpy as np
 import jax
@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from mpiflow_tpu.config import RAFTConfig
 from mpiflow_tpu.models.nn import (
-    P, batch_norm, conv2d, instance_norm, linear, relu,
+    P, batch_norm, conv2d, instance_norm, relu,
 )
 
 _HI = jax.lax.Precision.HIGHEST

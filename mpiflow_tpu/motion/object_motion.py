@@ -14,9 +14,8 @@ bit-compatible with the C code's mask semantics.
 """
 from __future__ import annotations
 
-import math
 import random as pyrandom
-from typing import Dict, NamedTuple, Tuple
+from typing import Dict, NamedTuple
 
 import numpy as np
 import jax
@@ -24,7 +23,7 @@ import jax.numpy as jnp
 
 from mpiflow_tpu.geom.camera import intrinsics_inverse
 from mpiflow_tpu.geom.homography import pixel_grid_homo
-from mpiflow_tpu.ops.forward_warp import forward_warp_raster, WarpResult
+from mpiflow_tpu.ops.forward_warp import forward_warp_raster
 from mpiflow_tpu.ops.morphology import dilate3x3
 
 _HI = jax.lax.Precision.HIGHEST

@@ -6,7 +6,6 @@ augmentation-style synthetic flow.
 """
 from __future__ import annotations
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 

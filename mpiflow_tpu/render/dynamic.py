@@ -12,9 +12,8 @@ inside jit, and only the final sample leaves the device.
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
-import jax
 import jax.numpy as jnp
 
 from mpiflow_tpu.render.mpi import render_novel_view

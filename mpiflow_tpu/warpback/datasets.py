@@ -25,7 +25,6 @@ import os
 from typing import Dict, Optional
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from mpiflow_tpu.geom.se3 import transformation_from_parameters
