@@ -123,3 +123,27 @@ def test_generator_cv2_inpaint_mode(tmp_path):
     cfg = _small_cfg(out, inpaint=InpaintConfig(method="cv2_ns"))
     stats = DatasetGenerator(cfg).run(base, out)
     assert stats["samples"] == 2
+
+
+def test_generator_dp_cv2_inpaint(tmp_path):
+    """The sharded drain path must route through the host cv2 inpaint
+    exactly like the single-chip path (same files out)."""
+    pytest.importorskip("cv2")
+    import jax
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 virtual devices")
+    base = str(tmp_path / "base")
+    _make_dataset(base, n=2)
+    out_s = str(tmp_path / "single")
+    out_p = str(tmp_path / "dp")
+    cfg_s = _small_cfg(out_s, inpaint=InpaintConfig(method="cv2_ns"))
+    cfg_p = _small_cfg(out_p, inpaint=InpaintConfig(method="cv2_ns"),
+                       mesh_data_axis=2)
+    DatasetGenerator(cfg_s).run(base, out_s)
+    stats = DatasetGenerator(cfg_p).run(base, out_p)
+    assert stats["samples"] == 4 and stats["errors"] == 0
+    for sub in ("flows", "dst_images"):
+        for f in sorted(os.listdir(os.path.join(out_s, sub))):
+            a = open(os.path.join(out_s, sub, f), "rb").read()
+            b = open(os.path.join(out_p, sub, f), "rb").read()
+            assert a == b, f"{sub}/{f}"
