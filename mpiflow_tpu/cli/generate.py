@@ -36,6 +36,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--predictor", choices=["adampi", "geometric"],
                    default="adampi",
                    help="MPI predictor: pretrained AdaMPI or network-free")
+    p.add_argument("--allow_geometric_fallback", action="store_true",
+                   help="with --predictor adampi, silently fall back to the "
+                        "geometric MPI when the checkpoint can't be loaded "
+                        "(default: abort, like the reference's hard torch.load "
+                        "failure at gen_3dphoto_dynamic_v2.py:52-58)")
+    p.add_argument("--bilateral", type=int, default=0, metavar="ITERS",
+                   help="sparse-bilateral-filter the disparity for N "
+                        "iterations before MPI prediction "
+                        "(bilateral_filter.py:13-53 semantics; reference "
+                        "keeps this off the live path, utils/utils.py:48)")
     p.add_argument("--planes", type=int, default=64)
     p.add_argument("--render_mode",
                    choices=["pallas", "preblocked", "quad", "scan",
@@ -57,12 +67,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile", action="store_true",
                    help="report per-stage wall-clock means in the summary")
     p.add_argument("--hard_flow", action="store_true")
+    p.add_argument("--flow_viz", choices=["auto", "on", "off"],
+                   default="auto",
+                   help="write colorized mixed-flow PNGs under flow_viz/ "
+                        "(auto = on for --flavor coco, matching "
+                        "utils_coco.py:270-278)")
     return p
 
 
 def make_config(args):
     from mpiflow_tpu.config import (GenConfig, PoseConfig, RenderConfig,
-                                    InpaintConfig)
+                                    InpaintConfig, DepthConfig)
     base_map = {"kitti_v2": (0.1, 0.1, 0.1), "coco": (0.1, 0.1, 0.1),
                 "legacy": (0.05, 0.05, 0.05)}
     return GenConfig(
@@ -74,8 +89,11 @@ def make_config(args):
         render=RenderConfig(num_planes=args.planes, hard_flow=args.hard_flow,
                             mode=args.render_mode),
         inpaint=InpaintConfig(method=args.inpaint),
+        depth=DepthConfig(bilateral_iters=args.bilateral),
         rng_mode=args.rng, resume=not args.no_resume,
-        mesh_data_axis=args.data_parallel)
+        mesh_data_axis=args.data_parallel,
+        save_flow_viz={"auto": args.flavor == "coco",
+                       "on": True, "off": False}[args.flow_viz])
 
 
 def main(argv=None) -> int:
@@ -96,7 +114,17 @@ def main(argv=None) -> int:
             from mpiflow_tpu.models.adampi import load_adampi_predictor
             mpi_fn = load_adampi_predictor(args.ckpt_path, args.width,
                                            args.height)
-        except (ImportError, FileNotFoundError) as e:
+        except (ImportError, FileNotFoundError, ValueError, KeyError) as e:
+            if not args.allow_geometric_fallback:
+                # Fail fast: generating a whole dataset with the low-fidelity
+                # geometric MPI when the user asked for AdaMPI is a silent
+                # quality regression (reference hard-fails at
+                # gen_3dphoto_dynamic_v2.py:52-58).
+                raise SystemExit(
+                    f"error: --predictor adampi but checkpoint "
+                    f"{args.ckpt_path!r} could not be loaded ({e}). Pass "
+                    f"--predictor geometric or --allow_geometric_fallback "
+                    f"to proceed without it.")
             logging.warning("AdaMPI predictor unavailable (%s); "
                             "falling back to geometric MPI", e)
 

@@ -37,6 +37,14 @@ def build_parser():
     p.add_argument("--add_noise", action="store_true")
     p.add_argument("--seed", type=int, default=1234)
     p.add_argument("--checkpoint_dir", default="checkpoints")
+    p.add_argument("--run_dir", default=None,
+                   help="metrics sink dir (metrics.jsonl + TB events); "
+                        "defaults to runs/{name} like the reference's "
+                        "TensorBoard run dirs")
+    p.add_argument("--freeze_bn", choices=["auto", "on", "off"],
+                   default="auto",
+                   help="auto = freeze except for the chairs stage "
+                        "(RAFT/train.py:146-148)")
     return p
 
 
@@ -78,13 +86,17 @@ def main(argv=None) -> int:
     from mpiflow_tpu.models.torch_convert import (load_torch_checkpoint,
                                                   convert_state_dict)
 
+    # reference: freeze BN for every stage except chairs (train.py:146-148)
+    freeze_bn = {"auto": args.stage != "chairs",
+                 "on": True, "off": False}[args.freeze_bn]
     cfg = TrainConfig(
         name=args.name, stage=args.stage, restore_ckpt=args.restore_ckpt,
         data_root=args.data_root, lr=args.lr, num_steps=args.num_steps,
         batch_size=args.batch_size, image_size=tuple(args.image_size),
         iters=args.iters, wdecay=args.wdecay, epsilon=args.epsilon,
         clip=args.clip, gamma=args.gamma, add_noise=args.add_noise,
-        seed=args.seed, validation=tuple(args.validation))
+        seed=args.seed, validation=tuple(args.validation),
+        freeze_bn=freeze_bn)
     model_cfg = RAFTConfig.small_config() if args.small else RAFTConfig()
     if args.mixed_precision:
         import dataclasses as _dc
@@ -109,8 +121,10 @@ def main(argv=None) -> int:
         params = init_random_params(args.small, args.seed)
         logging.info("initialized %d tensors from scratch", len(params))
 
+    import os
+    run_dir = args.run_dir or os.path.join("runs", args.name)
     mesh = make_mesh()
-    trainer = Trainer(cfg, model_cfg, mesh=mesh)
+    trainer = Trainer(cfg, model_cfg, mesh=mesh, run_dir=run_dir)
     state = trainer.init_state(params)
 
     validate_fn = None

@@ -78,6 +78,16 @@ class InpaintConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class DepthConfig:
+    """Disparity preprocessing (reference: bilateral_filter.py:13-53; the
+    filter is commented off the live path at utils/utils.py:48)."""
+
+    bilateral_iters: int = 0          # 0 = off (reference live-path behavior)
+    bilateral_size: int = 5           # filter_size=[5,5] per iteration
+    bilateral_threshold: float = 0.04
+
+
+@dataclasses.dataclass(frozen=True)
 class GenConfig:
     """End-to-end dataset generation (reference CLI: gen_3dphoto_dynamic_v2.py:20-34)."""
 
@@ -92,6 +102,7 @@ class GenConfig:
     pose: PoseConfig = dataclasses.field(default_factory=PoseConfig)
     render: RenderConfig = dataclasses.field(default_factory=RenderConfig)
     inpaint: InpaintConfig = dataclasses.field(default_factory=InpaintConfig)
+    depth: DepthConfig = dataclasses.field(default_factory=DepthConfig)
     # Batching across images on one chip and sharding across the mesh.
     batch_images: int = 1
     mesh_data_axis: int = 1
@@ -100,6 +111,9 @@ class GenConfig:
     # counter-based jax.random (faster, order-independent, production default).
     rng_mode: str = "numpy"
     resume: bool = True
+    # Colorized mixed-flow side outputs (flow_viz/{key}.png). The COCO
+    # flavor of the reference computes these per sample (utils_coco.py:270-278).
+    save_flow_viz: bool = False
 
     @property
     def ext_cz(self) -> float:
@@ -149,3 +163,8 @@ class TrainConfig:
     val_freq: int = 5000
     seed: int = 1234
     validation: Sequence[str] = ()
+    # The reference calls model.freeze_bn() for every stage except chairs
+    # (RAFT/train.py:146-148): frozen = eval-mode BN (running stats).
+    # freeze_bn=False runs BN in train mode (batch stats + momentum-updated
+    # running buffers) -- required for from-scratch chairs training.
+    freeze_bn: bool = True

@@ -96,7 +96,7 @@ class FlowAugmentor:
         self.h_flip_prob = 0.5
         self.v_flip_prob = 0.1
         self.jitter = dict(brightness=0.4, contrast=0.4, saturation=0.4,
-                           hue=0.5 / 3.14 / (2 * np.pi))
+                           hue=0.5 / 3.14)
         self.asymmetric_color_aug_prob = 0.2
         self.eraser_aug_prob = 0.5
         self.rng = np.random.RandomState(seed)
@@ -176,7 +176,7 @@ class SparseFlowAugmentor(FlowAugmentor):
                  do_flip=False, seed=None):
         super().__init__(crop_size, min_scale, max_scale, do_flip, seed)
         self.jitter = dict(brightness=0.3, contrast=0.3, saturation=0.3,
-                           hue=0.3 / 3.14 / (2 * np.pi))
+                           hue=0.3 / 3.14)
 
     def color_transform(self, img1, img2):  # always symmetric
         stack = _color_jitter(self.rng, np.concatenate([img1, img2], 0),

@@ -187,6 +187,25 @@ class SintelPairs(FlowPairDataset):
                     glob.glob(os.path.join(flow_root, scene, "*.flo")))
 
 
+def load_chairs_split(split_file: Optional[str] = None) -> np.ndarray:
+    """Official FlyingChairs train/val split flags (1=train, 2=val).
+
+    The reference always loads its bundled chairs_split.txt
+    (RAFT/core/datasets.py:124-126); we bundle the same 22,872 flags as a
+    packed bitmask asset. A text split file can override it."""
+    if split_file is not None:
+        if not os.path.exists(split_file):
+            raise FileNotFoundError(
+                f"chairs split file {split_file!r} not found")
+        return np.loadtxt(split_file, dtype=np.int32)
+    path = os.path.join(os.path.dirname(__file__), "assets",
+                        "chairs_split.bin")
+    with open(path, "rb") as f:
+        n = int.from_bytes(f.read(4), "little")
+        bits = np.unpackbits(np.frombuffer(f.read(), np.uint8))[:n]
+    return np.where(bits == 1, 2, 1).astype(np.int32)
+
+
 class FlyingChairsPairs(FlowPairDataset):
     """(RAFT/core/datasets.py:121-134)."""
 
@@ -195,10 +214,11 @@ class FlyingChairsPairs(FlowPairDataset):
         super().__init__(aug_params, sparse=False, seed=seed)
         images = sorted(glob.glob(os.path.join(root, "*.ppm")))
         flows = sorted(glob.glob(os.path.join(root, "*.flo")))
-        if split_file and os.path.exists(split_file):
-            split_list = np.loadtxt(split_file, dtype=np.int32)
-        else:
-            split_list = np.ones(len(flows), np.int32)
+        split_list = load_chairs_split(split_file)
+        if len(flows) > len(split_list):
+            raise ValueError(
+                f"{len(flows)} chairs flows but split has only "
+                f"{len(split_list)} entries")
         want = 1 if split == "training" else 2
         for i in range(len(flows)):
             if split_list[i] == want:

@@ -37,7 +37,7 @@ def make_intrinsics(width: int, height: int,
 def scale_intrinsics(K, sx: float, sy: float):
     """Scale K for a resized image (x by sx, y by sy)."""
     K = jnp.asarray(K)
-    S = jnp.array([[sx, 1.0, sx], [sy, 1.0, sy], [1.0, 1.0, 1.0]], dtype=K.dtype)
+    S = jnp.array([[sx, 1.0, sx], [1.0, sy, sy], [1.0, 1.0, 1.0]], dtype=K.dtype)
     return K * S
 
 

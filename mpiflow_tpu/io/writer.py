@@ -12,6 +12,8 @@ Output layout (bit-compatible with the reference):
       dst_images/{name}_{r}.png
       flows/{name}_{r}.flo
       obj_mask/{name}_{r}.png     (optional)
+      flow_viz/{name}_{r}.png     (optional; the COCO flavor's colorized
+                                   mixed-flow side output, utils_coco.py:270-278)
 """
 from __future__ import annotations
 
@@ -49,9 +51,13 @@ def existing_sample_keys(out_dir: str) -> Set[str]:
 class AsyncSampleWriter:
     """Background-thread writer for generated (src, dst, flow[, mask]) samples."""
 
-    def __init__(self, out_dir: str, num_threads: int = 4, queue_size: int = 64):
+    def __init__(self, out_dir: str, num_threads: int = 4, queue_size: int = 64,
+                 save_flow_viz: bool = False):
         ensure_layout(out_dir)
         self.out_dir = out_dir
+        self.save_flow_viz = save_flow_viz
+        if save_flow_viz:
+            os.makedirs(os.path.join(out_dir, "flow_viz"), exist_ok=True)
         self._queue: "queue.Queue" = queue.Queue(maxsize=queue_size)
         self._errors: list = []
         self._threads = []
@@ -76,6 +82,13 @@ class AsyncSampleWriter:
                 save_image_u8(os.path.join(self.out_dir, "dst_images", key + ".png"), dst_u8)
                 if mask_u8 is not None:
                     save_image_u8(os.path.join(self.out_dir, "obj_mask", key + ".png"), mask_u8)
+                if self.save_flow_viz:
+                    # colorized mixed flow (utils_coco.py:270-278); host-side
+                    # in the writer pool so the device never waits on it
+                    from mpiflow_tpu.viz.flow_viz import flow_to_color
+                    save_image_u8(
+                        os.path.join(self.out_dir, "flow_viz", key + ".png"),
+                        flow_to_color(flow))
             except Exception as e:  # surfaced on close()
                 self._errors.append((item[0] if item else "?", e))
             finally:

@@ -197,6 +197,10 @@ class P:
     def sub(self, prefix: str) -> "P":
         return P(self._p, self._prefix + prefix)
 
+    def key(self, name: str) -> str:
+        """Full flat-dict key for `name` under this view's prefix."""
+        return self._prefix + name
+
 
 def conv_bn_act(x, p: P, conv_name: str, bn_name: str, act,
                 stride=1, padding=0, dilation=1):

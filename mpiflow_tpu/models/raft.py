@@ -34,12 +34,31 @@ _HI = jax.lax.Precision.HIGHEST
 
 
 # ----------------------------------------------------------------- norms
-def _norm(x, p: P, name: str, kind: str, num_groups: int = 8):
+_BN_MOMENTUM = 0.1  # torch BatchNorm2d default
+
+
+def _norm(x, p: P, name: str, kind: str, num_groups: int = 8,
+          bn_state: Optional[Dict] = None):
     if kind == "none":
         return x
     if kind == "instance":
         return instance_norm(x)  # torch default affine=False
     if kind == "batch":
+        if bn_state is not None:
+            # torch BN train mode: normalize with batch stats; momentum-
+            # update the running buffers (unbiased var, like torch).
+            from mpiflow_tpu.models.nn import batch_norm_train
+            out, mean, var = batch_norm_train(
+                x, p.get(f"{name}.weight"), p.get(f"{name}.bias"))
+            n = x.shape[0] * x.shape[1] * x.shape[2]
+            unbiased = var * (n / max(n - 1, 1))
+            m = _BN_MOMENTUM
+            rm, rv = p[f"{name}.running_mean"], p[f"{name}.running_var"]
+            bn_state[p.key(f"{name}.running_mean")] = jax.lax.stop_gradient(
+                (1 - m) * rm + m * mean.astype(rm.dtype))
+            bn_state[p.key(f"{name}.running_var")] = jax.lax.stop_gradient(
+                (1 - m) * rv + m * unbiased.astype(rv.dtype))
+            return out
         return batch_norm(x, p[f"{name}.running_mean"],
                           p[f"{name}.running_var"],
                           p.get(f"{name}.weight"), p.get(f"{name}.bias"))
@@ -51,49 +70,50 @@ def _norm(x, p: P, name: str, kind: str, num_groups: int = 8):
 
 
 # ------------------------------------------------------------- encoders
-def _residual_block(x, p: P, kind: str, stride: int):
+def _residual_block(x, p: P, kind: str, stride: int, bn_state=None):
     """extractor.py:6-56."""
     planes = p["conv1.weight"].shape[-1]
     y = conv2d(x, p["conv1.weight"], p["conv1.bias"], stride=stride, padding=1)
-    y = relu(_norm(y, p, "norm1", kind, planes // 8))
+    y = relu(_norm(y, p, "norm1", kind, planes // 8, bn_state))
     y = conv2d(y, p["conv2.weight"], p["conv2.bias"], padding=1)
-    y = relu(_norm(y, p, "norm2", kind, planes // 8))
+    y = relu(_norm(y, p, "norm2", kind, planes // 8, bn_state))
     if "downsample.0.weight" in p:
         x = conv2d(x, p["downsample.0.weight"], p["downsample.0.bias"],
                    stride=stride)
         # torch aliases norm3 as downsample.1; the downsample.1.* keys hold
         # the loaded values (they are written last by load_state_dict)
-        x = _norm(x, p, "downsample.1", kind, planes // 8)
+        x = _norm(x, p, "downsample.1", kind, planes // 8, bn_state)
     return relu(x + y)
 
 
-def _bottleneck_block(x, p: P, kind: str, stride: int):
+def _bottleneck_block(x, p: P, kind: str, stride: int, bn_state=None):
     """extractor.py:60-116 (SmallEncoder)."""
     planes = p["conv3.weight"].shape[-1]
     y = conv2d(x, p["conv1.weight"], p["conv1.bias"])
-    y = relu(_norm(y, p, "norm1", kind, planes // 8))
+    y = relu(_norm(y, p, "norm1", kind, planes // 8, bn_state))
     y = conv2d(y, p["conv2.weight"], p["conv2.bias"], stride=stride, padding=1)
-    y = relu(_norm(y, p, "norm2", kind, planes // 8))
+    y = relu(_norm(y, p, "norm2", kind, planes // 8, bn_state))
     y = conv2d(y, p["conv3.weight"], p["conv3.bias"])
-    y = relu(_norm(y, p, "norm3", kind, planes // 8))
+    y = relu(_norm(y, p, "norm3", kind, planes // 8, bn_state))
     if "downsample.0.weight" in p:
         x = conv2d(x, p["downsample.0.weight"], p["downsample.0.bias"],
                    stride=stride)
-        x = _norm(x, p, "downsample.1", kind, planes // 8)
+        x = _norm(x, p, "downsample.1", kind, planes // 8, bn_state)
     return relu(x + y)
 
 
 def basic_encoder(params: Dict, x: jnp.ndarray, prefix: str, kind: str,
-                  small: bool = False) -> jnp.ndarray:
+                  small: bool = False, bn_state=None) -> jnp.ndarray:
     """BasicEncoder/SmallEncoder (extractor.py:118-267). x: [N,H,W,3] in
-    [-1,1]. Returns [N,H/8,W/8,output_dim]."""
+    [-1,1]. Returns [N,H/8,W/8,output_dim]. With bn_state (a dict), batch
+    norms run in train mode and write momentum-updated running stats into it."""
     p = P(params, prefix)
     block = _bottleneck_block if small else _residual_block
     x = conv2d(x, p["conv1.weight"], p["conv1.bias"], stride=2, padding=3)
-    x = relu(_norm(x, p, "norm1", kind))
+    x = relu(_norm(x, p, "norm1", kind, 8, bn_state))
     for li, stride in ((1, 1), (2, 2), (3, 2)):
-        x = block(x, p.sub(f"layer{li}.0."), kind, stride)
-        x = block(x, p.sub(f"layer{li}.1."), kind, 1)
+        x = block(x, p.sub(f"layer{li}.0."), kind, stride, bn_state)
+        x = block(x, p.sub(f"layer{li}.1."), kind, 1, bn_state)
     return conv2d(x, p["conv2.weight"], p["conv2.bias"])
 
 
@@ -340,10 +360,18 @@ def upsample_flow_bilinear(flow: jnp.ndarray) -> jnp.ndarray:
 def raft_forward(params: Dict, image1: jnp.ndarray, image2: jnp.ndarray,
                  cfg: RAFTConfig = RAFTConfig(), iters: int = 12,
                  flow_init: Optional[jnp.ndarray] = None,
-                 compute_dtype=jnp.float32):
+                 compute_dtype=jnp.float32, with_low: bool = False,
+                 bn_train: bool = False):
     """RAFT.forward (raft.py:86-144). images [N,H,W,3] in [0,255].
 
     Returns flow predictions [iters,N,H,W,2] (full resolution).
+    With `with_low`, returns (flow_ups, flow_low) where flow_low is the
+    final 1/8-res coords1-coords0 (raft.py:139-142 test_mode tuple).
+    With `bn_train`, the context encoder's batch norms use batch statistics
+    (torch BN train mode) and the return gains a dict of momentum-updated
+    running stats: (flow_ups[, flow_low], new_bn_stats). The reference only
+    freezes BN for stages other than chairs (RAFT/train.py:146-148), so
+    from-scratch chairs training must run with bn_train=True.
     """
     N, H, W, _ = image1.shape
     h, w = H // 8, W // 8
@@ -373,7 +401,14 @@ def raft_forward(params: Dict, image1: jnp.ndarray, image2: jnp.ndarray,
     fmap1 = fmaps[:N].astype(jnp.float32)
     fmap2 = fmaps[N:].astype(jnp.float32)
 
-    cnet = basic_encoder(cparams, x1, "cnet.", ckind, cfg.small)
+    bn_state: Optional[Dict] = {} if bn_train else None
+    if bn_train:
+        # train-mode BN runs in f32 on the original params (torch AMP also
+        # keeps BN in fp32); the updated buffers write back into `params`
+        cnet = basic_encoder(params, x1.astype(jnp.float32), "cnet.", ckind,
+                             cfg.small, bn_state)
+    else:
+        cnet = basic_encoder(cparams, x1, "cnet.", ckind, cfg.small)
     net = jnp.tanh(cnet[..., :hdim]).astype(jnp.float32)
     inp = relu(cnet[..., hdim:hdim + cdim]).astype(jnp.float32)
 
@@ -421,18 +456,20 @@ def raft_forward(params: Dict, image1: jnp.ndarray, image2: jnp.ndarray,
 
     (coords1, net), flow_ups = jax.lax.scan(step, (coords1, net), None,
                                             length=iters)
+    if with_low and bn_train:
+        return flow_ups, coords1 - coords0, bn_state
+    if with_low:
+        return flow_ups, coords1 - coords0
+    if bn_train:
+        return flow_ups, bn_state
     return flow_ups
 
 
 def raft_test_mode(params, image1, image2, cfg=RAFTConfig(), iters: int = 24,
                    flow_init=None):
-    """(flow_low [N,h,w,2], flow_up [N,H,W,2]) like test_mode (raft.py:141-142).
-    flow_low feeds warm-start forward_interpolate across video frames."""
-    flow_ups = raft_forward(params, image1, image2, cfg, iters, flow_init)
-    # recompute low-res flow from the last prediction is not possible after
-    # upsampling; run the scan again is wasteful -- instead raft_forward
-    # returns upsampled flows; for warm start we downsample the last one.
-    last = flow_ups[-1]
-    N, H, W, _ = last.shape
-    low = jax.image.resize(last, (N, H // 8, W // 8, 2), "bilinear") / 8.0
-    return low, last
+    """(flow_low [N,h,w,2], flow_up [N,H,W,2]) like test_mode (raft.py:139-142).
+    flow_low is the true final 1/8-res coords1-coords0 that the reference
+    feeds forward_interpolate for video warm start."""
+    flow_ups, low = raft_forward(params, image1, image2, cfg, iters,
+                                 flow_init, with_low=True)
+    return low, flow_ups[-1]

@@ -83,9 +83,9 @@ def create_sintel_submission(params, data_root: str, output_path: str,
 
     @jax.jit
     def infer(img1, img2, flow_init):
-        preds = raft_forward(params, img1, img2, cfg, iters=iters,
-                             flow_init=flow_init)
-        return preds[-1]
+        preds, low = raft_forward(params, img1, img2, cfg, iters=iters,
+                                  flow_init=flow_init, with_low=True)
+        return preds[-1], low
 
     for dstype in ("clean", "final"):
         ds = SintelPairs(data_root, "test", dstype, aug_params=None)
@@ -100,12 +100,14 @@ def create_sintel_submission(params, data_root: str, output_path: str,
             h8, w8 = p1.shape[0] // 8, p1.shape[1] // 8
             init = (jnp.zeros((1, h8, w8, 2)) if flow_prev is None
                     else jnp.asarray(flow_prev[None]))
-            pred = np.asarray(infer(jnp.asarray(p1[None]),
-                                    jnp.asarray(p2[None]), init))
+            pred, low = infer(jnp.asarray(p1[None]), jnp.asarray(p2[None]),
+                              init)
+            pred = np.asarray(pred)
             flow = pred[0][crop[0], crop[1]]
             if warm_start:
-                low = pred[0][::8, ::8] / 8.0
-                flow_prev = forward_interpolate(low)
+                # true final 1/8-res coords1-coords0 (evaluate.py:37-40
+                # feeds flow_low, not a subsample of the upsampled flow)
+                flow_prev = forward_interpolate(np.asarray(low)[0])
             out_dir = os.path.join(output_path, dstype, sequence)
             os.makedirs(out_dir, exist_ok=True)
             write_flo(os.path.join(out_dir, f"frame{frame + 1:04d}.flo"), flow)

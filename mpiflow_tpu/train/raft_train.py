@@ -7,14 +7,16 @@ The reference scales with single-host nn.DataParallel (:138); here the step
 is jitted with the batch sharded over the mesh "data" axis -- XLA inserts
 the gradient all-reduce over ICI.
 
-BatchNorms run in eval mode (frozen) -- matching model.freeze_bn(), which
-the reference applies for every stage except chairs (train.py:147-148).
+BatchNorms run in eval mode (frozen) by default -- matching
+model.freeze_bn(), which the reference applies for every stage except
+chairs (train.py:146-148); cfg.freeze_bn=False enables train-mode BN with
+momentum-updated running stats for from-scratch chairs training.
 """
 from __future__ import annotations
 
 import dataclasses
 import os
-import time
+
 from typing import Dict, Iterator, Optional, Tuple
 
 import numpy as np
@@ -70,6 +72,14 @@ def onecycle_linear_schedule(peak_lr: float, total_steps: int,
         [warm])
 
 
+def _is_buffer(key: str) -> bool:
+    """Non-trainable torch buffers in the flat param dict (BN running
+    stats). They enter the forward, so grads exist, but the optimizer must
+    never touch them (torch buffers get no optimizer updates)."""
+    return key.endswith(".running_mean") or key.endswith(".running_var") \
+        or key.endswith(".num_batches_tracked")
+
+
 def make_optimizer(cfg: TrainConfig):
     sched = onecycle_linear_schedule(cfg.lr, cfg.num_steps + 100)
     tx = optax.chain(
@@ -77,6 +87,12 @@ def make_optimizer(cfg: TrainConfig):
         optax.adamw(sched, b1=0.9, b2=0.999, eps=cfg.epsilon,
                     weight_decay=cfg.wdecay),
     )
+    # buffers (BN running stats) get zero updates: they receive real
+    # gradients through eval-mode BN, but torch never optimizes buffers
+    tx = optax.multi_transform(
+        {"train": tx, "buffer": optax.set_to_zero()},
+        lambda params: {k: ("buffer" if _is_buffer(k) else "train")
+                        for k in params})
     return tx, sched
 
 
@@ -89,17 +105,35 @@ class TrainState:
 
 def make_train_step(cfg: TrainConfig, model_cfg: RAFTConfig, tx,
                     donate: bool = True):
-    """Jitted data-parallel train step over NHWC batches."""
+    """Jitted data-parallel train step over NHWC batches.
+
+    With cfg.freeze_bn=False (the reference's chairs stage,
+    RAFT/train.py:146-148), batch norms run in train mode: the forward uses
+    batch statistics and the momentum-updated running buffers are written
+    back into params after the optimizer update (optimizer itself never
+    touches buffers; see _is_buffer)."""
+    bn_train = not cfg.freeze_bn
 
     def loss_fn(params, img1, img2, flow, valid):
-        preds = raft_forward(params, img1, img2, model_cfg, iters=cfg.iters)
-        return sequence_loss(preds, flow, valid, cfg.gamma, cfg.max_flow)
+        if bn_train:
+            preds, bn_stats = raft_forward(params, img1, img2, model_cfg,
+                                           iters=cfg.iters, bn_train=True)
+        else:
+            preds = raft_forward(params, img1, img2, model_cfg,
+                                 iters=cfg.iters)
+            bn_stats = {}
+        loss, metrics = sequence_loss(preds, flow, valid, cfg.gamma,
+                                      cfg.max_flow)
+        return loss, (metrics, bn_stats)
 
     def step(params, opt_state, img1, img2, flow, valid):
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, img1, img2, flow, valid)
+        (loss, (metrics, bn_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, img1, img2, flow, valid)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
+        if bn_stats:
+            params = dict(params)
+            params.update(bn_stats)
         metrics = dict(metrics, loss=loss)
         return params, opt_state, metrics
 
@@ -116,7 +150,7 @@ class Trainer:
     """
 
     def __init__(self, cfg: TrainConfig, model_cfg: Optional[RAFTConfig] = None,
-                 mesh=None, log_fn=print):
+                 mesh=None, log_fn=print, run_dir: Optional[str] = None):
         self.cfg = cfg
         self.model_cfg = model_cfg or (
             RAFTConfig.small_config() if getattr(cfg, "small", False)
@@ -126,6 +160,9 @@ class Trainer:
         self.mesh = mesh
         self.log_fn = log_fn
         self.sum_freq = 100
+        # persistent metric trail (reference Logger writes TB scalars,
+        # RAFT/train.py:89-133); None = print-only
+        self.run_dir = run_dir
 
     def init_state(self, params: Dict) -> TrainState:
         params = jax.tree_util.tree_map(jnp.asarray, params)
@@ -141,10 +178,11 @@ class Trainer:
             num_steps: Optional[int] = None,
             checkpoint_dir: Optional[str] = None,
             validate_fn=None) -> TrainState:
+        from mpiflow_tpu.train.logger import MetricsLogger
         num_steps = num_steps or self.cfg.num_steps
-        running: Dict[str, float] = {}
-        t0 = time.time()
         rng = np.random.RandomState(self.cfg.seed)
+        logger = MetricsLogger(self.run_dir, self.sum_freq,
+                               print_fn=self.log_fn)
         for i in range(num_steps):
             batch = next(data_iter)
             if self.cfg.add_noise:
@@ -162,22 +200,15 @@ class Trainer:
             if i == 0:  # surface compile completion + first metrics promptly
                 self.log_fn(f"[{state.step:6d}] first step done, loss="
                             f"{float(metrics['loss']):.4f}")
-            for k, v in metrics.items():
-                running[k] = running.get(k, 0.0) + float(v)
-            if state.step % self.sum_freq == 0:
-                msg = f"[{state.step:6d}] " + ", ".join(
-                    f"{k}={running[k] / self.sum_freq:.4f}"
-                    for k in sorted(running))
-                rate = self.sum_freq * batch[0].shape[0] / (time.time() - t0)
-                self.log_fn(f"{msg}  ({rate:.1f} img/s)")
-                running = {}
-                t0 = time.time()
+            logger.push(state.step, metrics, batch[0].shape[0],
+                        lr=float(self.sched(state.step)))
             if checkpoint_dir and state.step % self.cfg.val_freq == 0:
                 self.save(state, checkpoint_dir)
                 if validate_fn is not None:
-                    self.log_fn(str(validate_fn(state.params)))
+                    logger.write_dict(state.step, validate_fn(state.params))
         if checkpoint_dir:
             self.save(state, checkpoint_dir, final=True)
+        logger.close()
         return state
 
     def save(self, state: TrainState, ckpt_dir: str, final: bool = False):
