@@ -2,37 +2,45 @@
 """Benchmark: image+flow pair generation throughput at KITTI resolution.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "pairs/sec/chip", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "pairs/sec/chip", "vs_baseline": N,
+   "render_pairs_per_sec": N, "e2e_pairs_per_sec": N}
 
-`value` is the fused TPU pipeline's throughput: full dynamic-object sample
-generation (dual-pose 64-plane MPI render + mask compositing + on-device
-inpainting) at 384x1280, per chip.
+`value` (= e2e_pairs_per_sec) is the FULL-PRODUCT throughput: the AdaMPI
+multiplane prediction (bf16, 64 planes, fully batched) once per image
+amortized over --repeat 5 samples, plus per sample the fused dual-pose
+64-plane MPI render + mask compositing + on-device inpainting at 384x1280
+(the reference's gen_3dphoto_dynamic_v2.py per-image program,
+:92-93 predictor + :99-122 repeat loop). `render_pairs_per_sec` isolates
+the render pipeline (geometric MPI source).
 
-`vs_baseline` is the speedup over a *reference-dataflow proxy* measured on
-the SAME chip: the reference's exact computation structure
-(gen_3dphoto_dynamic_v2.py + utils/utils.py) -- B=1, per-plane warped stacks
-materialized at (S,8,H,W), separate flow-compositing pass, six full-res
-device->host transfers per sample, host numpy mask compositing and host
-cv2 (or scipy) inpainting -- re-expressed in JAX. The reference publishes no
-throughput numbers (SURVEY.md §6), so the honest baseline is its dataflow on
-identical hardware.
+`vs_baseline` is the e2e speedup over a *reference-dataflow proxy* measured
+on the SAME chip: the reference's exact computation structure
+(gen_3dphoto_dynamic_v2.py + utils/utils.py) -- B=1, the same AdaMPI
+forward once per image, per-plane warped stacks materialized at (S,8,H,W),
+separate flow-compositing pass, six full-res device->host transfers per
+sample, host numpy mask compositing and host cv2 (or pure-numpy) inpainting
+-- re-expressed in JAX. The reference publishes no throughput numbers
+(SURVEY.md §6), so the honest baseline is its dataflow on identical
+hardware; the proxy even reuses OUR batched AdaMPI (the true torch fp16
+forward is slower), making the reported speedup conservative.
+
+Timing note: on the axon remote backend `jax.block_until_ready` returns
+before execution finishes, so every timed region here chains a scalar
+data dependency through the iterations and fetches it to host once at the
+end -- a real synchronization.
 """
 import json
-import os
 import time
 
 import numpy as np
 
 H, W, S, REPEAT = 384, 1280, 64, 5
-RENDER_MODE = os.environ.get("MPIFLOW_RENDER_MODE", "pallas")
-N_WARMUP, N_ITERS = 1, 4
+N_WARMUP, N_ITERS = 1, 3
 
 
 def _resolve_mode():
     """'pallas' needs backend support (ops/pallas_warp.py probes the Mosaic
     service); otherwise use the XLA blocked-gather renderer."""
-    if RENDER_MODE != "pallas":
-        return RENDER_MODE
     from mpiflow_tpu.ops.pallas_warp import (pallas_warp_supported,
                                              supported_shape)
     if supported_shape(H, W) and pallas_warp_supported():
@@ -63,7 +71,51 @@ def make_poses(n):
     return np.stack(G_obj), np.stack(G_cam)
 
 
-def bench_fused():
+def _live_sum(out):
+    """Sum every output leaf so XLA cannot dead-code-eliminate any stage."""
+    import jax
+    import jax.numpy as jnp
+    return sum(jnp.sum(l.astype(jnp.float32))
+               for l in jax.tree_util.tree_leaves(out)
+               if hasattr(l, "astype"))
+
+
+def _timed(fn, *args, n=N_ITERS):
+    """Chained-dependency timing with one host fetch at the end."""
+    import jax.numpy as jnp
+    acc = fn(*args)
+    float(acc)                           # warm-up + real sync
+    t0 = time.perf_counter()
+    acc = jnp.float32(0.0)
+    for _ in range(n):
+        acc = acc + fn(*args)
+    float(acc)                           # sync
+    return (time.perf_counter() - t0) / n
+
+
+def _adampi_params():
+    import os
+    import jax.numpy as jnp
+    here = os.path.dirname(os.path.abspath(__file__))
+    g = np.load(os.path.join(here, "tests/golden/data/adampi.npz"))
+    rng = np.random.RandomState(0)
+    params = {}
+    for k, shape_s in zip(g["sd_keys"], g["sd_shapes"]):
+        shape = tuple(int(x) for x in shape_s.split(",") if x)
+        if k.endswith("num_batches_tracked") or len(shape) == 0:
+            continue
+        if k.endswith("running_var"):
+            v = (0.5 + rng.rand(*shape)).astype(np.float32)
+        else:
+            v = (rng.randn(*shape) * 0.1).astype(np.float32)
+        if len(shape) == 4:
+            v = v.transpose(2, 3, 1, 0)
+        params[k] = jnp.asarray(v, jnp.bfloat16)
+    return params
+
+
+def bench_render(mode):
+    """Render pipeline only: geometric MPI + 5 fused dynamic samples."""
     import jax
     import jax.numpy as jnp
     from mpiflow_tpu.geom.camera import make_intrinsics
@@ -76,7 +128,6 @@ def bench_fused():
     K = jnp.asarray(make_intrinsics(W, H))
     disparities = jnp.asarray(mpi_plane_disparities(S))
     G_obj, G_cam = make_poses(REPEAT)
-    mode = _resolve_mode()
 
     @jax.jit
     def generate(img, disp, mask, G_obj, G_cam):
@@ -84,24 +135,51 @@ def bench_fused():
         def one(Go, Gc):
             return render_dynamic_sample(mpi_rgb, mpi_sigma, disparities,
                                          img, mask, Go, Gc, K, K,
-                                         inpaint_iters=128,
-                                         mode=mode)
-        return jax.lax.map(lambda a: one(*a), (G_obj, G_cam))
+                                         inpaint_iters=128, mode=mode)
+        return _live_sum(jax.lax.map(lambda a: one(*a), (G_obj, G_cam)))
 
     args = (img, disp, mask, jnp.asarray(G_obj), jnp.asarray(G_cam))
-    for _ in range(N_WARMUP):
-        out = generate(*args)
-        jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(N_ITERS):
-        out = generate(*args)
-        jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / N_ITERS
-    return REPEAT / dt  # pairs per second
+    dt = _timed(generate, *args)
+    return REPEAT / dt
+
+
+def bench_e2e(mode):
+    """The product: AdaMPI bf16 forward (once per image) + 5 fused samples."""
+    import jax
+    import jax.numpy as jnp
+    from mpiflow_tpu.geom.camera import make_intrinsics
+    from mpiflow_tpu.geom.homography import mpi_plane_disparities
+    from mpiflow_tpu.models.adampi import adampi_forward
+    from mpiflow_tpu.render.dynamic import render_dynamic_sample
+
+    params = _adampi_params()
+    rng = np.random.RandomState(0)
+    img, disp, mask = make_inputs(rng)
+    K = jnp.asarray(make_intrinsics(W, H))
+    disparities = jnp.asarray(mpi_plane_disparities(S))
+    G_obj, G_cam = make_poses(REPEAT)
+
+    @jax.jit
+    def generate(img, disp, mask, G_obj, G_cam):
+        rgb, sigma, _ = adampi_forward(
+            params, img.astype(jnp.bfloat16), disp.astype(jnp.bfloat16),
+            num_planes=S, plane_chunk=64)
+        rgb = rgb.astype(jnp.float32)
+        sigma = sigma.astype(jnp.float32)
+        def one(Go, Gc):
+            return render_dynamic_sample(rgb, sigma, disparities,
+                                         img, mask, Go, Gc, K, K,
+                                         inpaint_iters=128, mode=mode)
+        return _live_sum(jax.lax.map(lambda a: one(*a), (G_obj, G_cam)))
+
+    args = (img, disp, mask, jnp.asarray(G_obj), jnp.asarray(G_cam))
+    dt = _timed(generate, *args)
+    return REPEAT / dt
 
 
 def bench_reference_proxy():
-    """The reference's dataflow (B=1, unfused, host compositing/inpaint)."""
+    """The reference's dataflow: AdaMPI once per image, B=1 unfused renders,
+    six D2H transfers + host compositing/inpaint per sample."""
     import jax
     import jax.numpy as jnp
     from mpiflow_tpu.geom.camera import make_intrinsics, intrinsics_inverse
@@ -109,9 +187,10 @@ def bench_reference_proxy():
         mpi_plane_disparities, pixel_grid_homo, plane_homographies,
         homography_grid, plane_flow_a2b, src_xyz_from_plane_disparity,
         tgt_xyz_from_plane_disparity)
-    from mpiflow_tpu.models.geometric import geometric_mpi
+    from mpiflow_tpu.models.adampi import adampi_forward
     from mpiflow_tpu.ops.resample import bilinear_sample_border
 
+    params = _adampi_params()
     rng = np.random.RandomState(0)
     img, disp, mask = make_inputs(rng)
     K = jnp.asarray(make_intrinsics(W, H))
@@ -121,7 +200,10 @@ def bench_reference_proxy():
 
     @jax.jit
     def predict(img, disp):
-        return geometric_mpi(img, disp, disparities)
+        rgb, sigma, _ = adampi_forward(
+            params, img.astype(jnp.bfloat16), disp.astype(jnp.bfloat16),
+            num_planes=S, plane_chunk=64)
+        return rgb.astype(jnp.float32), sigma.astype(jnp.float32)
 
     @jax.jit
     def render_unfused(mpi_rgb, mpi_sigma, obj_mask, G):
@@ -160,60 +242,65 @@ def bench_reference_proxy():
         flow = (ws * flow_a2b.transpose(0, 3, 1, 2)).sum(0)
         return frame, objm, jnp.clip(flow, -200, 200)
 
-    mpi_rgb, mpi_sigma = predict(img, disp)
     mask_np = np.asarray(mask)
 
-    def one_sample(Go, Gc):
-        f1, m1, fl1 = render_unfused(mpi_rgb, mpi_sigma, mask, jnp.asarray(Go))
-        f2, m2, fl2 = render_unfused(mpi_rgb, mpi_sigma, 1 - mask,
-                                     jnp.asarray(Gc))
-        # six D2H transfers + host compositing (utils/utils.py:237-286)
-        f1, m1, f2, m2 = map(np.asarray, (f1, m1, f2, m2))
-        fl1 = np.array(fl1)
-        fl2 = np.array(fl2)
-        t = 0.99
-        fl1[:, mask_np < t] = 0
-        fl2[:, mask_np >= t] = 0
-        u1 = np.clip(np.round(f1 * 255), 0, 255).astype(np.uint8)
-        u2 = np.clip(np.round(f2 * 255), 0, 255).astype(np.uint8)
-        u1[:, m1 < t] = 255
-        u2[:, m2 < t] = 255
-        mix = np.where((m1 >= t)[None], u1, u2).transpose(1, 2, 0)
-        fill = np.where(m1 >= t, 1.0, m2)
-        holes = (fill < t).astype(np.uint8)
-        try:
-            import cv2
-            out = cv2.inpaint(np.ascontiguousarray(mix), holes, 3,
-                              cv2.INPAINT_NS)
-        except ImportError:
-            out = mix
-        return out, np.where(mask_np >= t, fl1, fl2)
+    def one_image():
+        mpi_rgb, mpi_sigma = predict(img, disp)
+        for r in range(REPEAT):
+            f1, m1, fl1 = render_unfused(mpi_rgb, mpi_sigma, mask,
+                                         jnp.asarray(G_obj[r]))
+            f2, m2, fl2 = render_unfused(mpi_rgb, mpi_sigma, 1 - mask,
+                                         jnp.asarray(G_cam[r]))
+            # six D2H transfers + host compositing (utils/utils.py:237-286)
+            f1, m1, f2, m2 = map(np.asarray, (f1, m1, f2, m2))
+            fl1 = np.array(fl1)
+            fl2 = np.array(fl2)
+            t = 0.99
+            fl1[:, mask_np < t] = 0
+            fl2[:, mask_np >= t] = 0
+            u1 = np.clip(np.round(f1 * 255), 0, 255).astype(np.uint8)
+            u2 = np.clip(np.round(f2 * 255), 0, 255).astype(np.uint8)
+            u1[:, m1 < t] = 255
+            u2[:, m2 < t] = 255
+            mix = np.where((m1 >= t)[None], u1, u2).transpose(1, 2, 0)
+            fill = np.where(m1 >= t, 1.0, m2)
+            holes = (fill < t).astype(np.uint8)
+            try:
+                import cv2
+                cv2.inpaint(np.ascontiguousarray(mix), holes, 3,
+                            cv2.INPAINT_NS)
+            except ImportError:
+                pass
+            _ = np.where(mask_np >= t, fl1, fl2)
 
-    # warmup (compile)
-    one_sample(G_obj[0], G_cam[0])
+    one_image()  # warmup (compile)
     t0 = time.perf_counter()
     n = 0
-    for i in range(max(1, N_ITERS // 2)):
-        for r in range(REPEAT):
-            one_sample(G_obj[r], G_cam[r])
-            n += 1
+    for _ in range(max(1, N_ITERS - 1)):
+        one_image()
+        n += REPEAT
     dt = time.perf_counter() - t0
     return n / dt
 
 
 def main():
-    value = bench_fused()
+    mode = _resolve_mode()
+    render = bench_render(mode)
+    e2e = bench_e2e(mode)
     try:
         baseline = bench_reference_proxy()
     except Exception:
         baseline = float("nan")
-    vs = value / baseline if baseline == baseline and baseline > 0 else None
+    vs = e2e / baseline if baseline == baseline and baseline > 0 else None
     print(json.dumps({
-        "metric": "image+flow pairs/sec/chip, 384x1280, 64-plane MPI, "
-                  "dual-pose dynamic render + inpaint",
-        "value": round(value, 3),
+        "metric": "end-to-end image+flow pairs/sec/chip, 384x1280, "
+                  "64-plane AdaMPI (bf16) + dual-pose dynamic render + "
+                  "inpaint, repeat=5",
+        "value": round(e2e, 3),
         "unit": "pairs/sec/chip",
         "vs_baseline": round(vs, 3) if vs else 1.0,
+        "render_pairs_per_sec": round(render, 3),
+        "e2e_pairs_per_sec": round(e2e, 3),
     }))
 
 

@@ -344,7 +344,7 @@ def adampi_forward(params: Dict, image: jnp.ndarray, disp: jnp.ndarray,
 
 
 def load_adampi_predictor(ckpt_path: str, width: int, height: int,
-                          use_dpn: bool = False, plane_chunk: int = 16,
+                          use_dpn: bool = False, plane_chunk: int = 64,
                           compute_dtype=jnp.bfloat16):
     """Load adampi_64p.pth (keys {'num_planes','weight'},
     gen_3dphoto_dynamic_v2.py:52-58) and return an MPIPredictFn for the
@@ -354,7 +354,12 @@ def load_adampi_predictor(ckpt_path: str, width: int, height: int,
     compute_dtype defaults to bfloat16: the reference itself runs the
     network in fp16 (gen_3dphoto_dynamic_v2.py:59), and v5e convs are ~8x
     faster in bf16. Pass jnp.float32 for parity testing; compositing
-    downstream is always fp32."""
+    downstream is always fp32.
+
+    plane_chunk=64 runs the standard 64-plane model fully batched (no
+    lax.map chunking): measured 2x faster than chunk=16 on v5e and fits a
+    16GB chip at KITTI res in bf16. Lower it for larger resolutions or
+    higher plane counts."""
     from mpiflow_tpu.models.torch_convert import load_torch_checkpoint
     ckpt = load_torch_checkpoint(ckpt_path)
     num_planes = int(ckpt.get("num_planes", 64))
