@@ -169,6 +169,41 @@ def validate_chairs(params, data_root: str, cfg: RAFTConfig = RAFTConfig(),
     return {"chairs": epe}
 
 
+def validate_mpiflow(params, data_root: str, cfg: RAFTConfig = RAFTConfig(),
+                     iters: int = 24, limit: Optional[int] = None,
+                     log_fn=print) -> Dict[str, float]:
+    """EPE over held-out generator output ({src_images,dst_images,flows}).
+
+    The reference has no such validator -- its only end-to-end check is the
+    visual vis_flow.py (SURVEY.md §3.5) -- but measuring EPE on held-out
+    generated pairs is what closes the generate->train->eval loop
+    quantitatively (the downstream metric RAFT/evaluate.py computes on real
+    benchmarks, applied to our own synthetic ground truth)."""
+    from mpiflow_tpu.data.datasets import MPIFlowPairs
+    ds = MPIFlowPairs(data_root, aug_params=None)
+    if len(ds) == 0:
+        raise ValueError(f"no generated pairs under {data_root!r}")
+    infer = _make_infer(params, cfg, iters)
+    n = len(ds) if limit is None else min(limit, len(ds))
+    epes, one, three = [], [], []
+    for i in range(n):
+        img1, img2, flow_gt, valid = ds[i]
+        p1, crop = pad_to_multiple_of_8(img1.astype(np.float32))
+        p2, _ = pad_to_multiple_of_8(img2.astype(np.float32))
+        pred = np.asarray(infer(jnp.asarray(p1[None]), jnp.asarray(p2[None])))
+        pred = pred[0][crop[0], crop[1]]
+        e = np.sqrt(((pred - flow_gt) ** 2).sum(-1))[valid >= 0.5]
+        epes.append(e.mean())
+        one.append((e < 1).mean())
+        three.append((e < 3).mean())
+    res = {"mpiflow-epe": float(np.mean(epes)),
+           "mpiflow-1px": float(np.mean(one)),
+           "mpiflow-3px": float(np.mean(three))}
+    log_fn(f"Validation MPI-Flow ({n} pairs): epe={res['mpiflow-epe']:.4f} "
+           f"1px={res['mpiflow-1px']:.4f} 3px={res['mpiflow-3px']:.4f}")
+    return res
+
+
 def validate_sintel(params, data_root: str, cfg: RAFTConfig = RAFTConfig(),
                     iters: int = 32, log_fn=print) -> Dict[str, float]:
     """Sintel training split validation (evaluate.py:96-127)."""
