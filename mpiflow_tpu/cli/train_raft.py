@@ -45,6 +45,10 @@ def build_parser():
                    default="auto",
                    help="auto = freeze except for the chairs stage "
                         "(RAFT/train.py:146-148)")
+    p.add_argument("--corr_impl", choices=["xla", "pallas"], default="xla",
+                   help="windowed-correlation lookup: XLA row-window "
+                        "gather or the Pallas kernel (ops/pallas_corr; "
+                        "falls back to xla off-TPU)")
     return p
 
 
@@ -97,10 +101,10 @@ def main(argv=None) -> int:
         clip=args.clip, gamma=args.gamma, add_noise=args.add_noise,
         seed=args.seed, validation=tuple(args.validation),
         freeze_bn=freeze_bn)
+    import dataclasses as _dc
     model_cfg = RAFTConfig.small_config() if args.small else RAFTConfig()
-    if args.mixed_precision:
-        import dataclasses as _dc
-        model_cfg = _dc.replace(model_cfg, mixed_precision=True)
+    model_cfg = _dc.replace(model_cfg, mixed_precision=args.mixed_precision,
+                            corr_impl=args.corr_impl)
 
     dataset = fetch_dataset(args.stage, args.data_root,
                             tuple(args.image_size), seed=args.seed)

@@ -131,6 +131,10 @@ class RAFTConfig:
     corr_radius: int = 4
     dropout: float = 0.0
     alternate_corr: bool = False
+    # "xla" = row-window gather lookup (corr_lookup_windowed); "pallas" =
+    # ops/pallas_corr kernel (alt_cuda_corr's TPU counterpart; falls back
+    # to xla when the backend/shape can't run it)
+    corr_impl: str = "xla"
     # bf16 convs / f32 flow math (the reference's AMP); off by default so
     # parity tests and eval run pure f32 -- enable for training throughput
     mixed_precision: bool = False

@@ -423,8 +423,19 @@ def raft_forward(params: Dict, image1: jnp.ndarray, image2: jnp.ndarray,
                                    radius=cfg.corr_radius)
     else:
         pyramid = all_pairs_corr_pyramid(fmap1, fmap2, cfg.corr_levels)
-        lookup = functools.partial(corr_lookup_windowed, pyramid,
-                                   radius=cfg.corr_radius)
+        use_pallas = False
+        if cfg.corr_impl == "pallas":
+            from mpiflow_tpu.ops.pallas_corr import (corr_lookup_pallas,
+                                                     pallas_corr_supported,
+                                                     supported_shape)
+            use_pallas = (supported_shape(N * h * w)
+                          and pallas_corr_supported())
+        if use_pallas:
+            lookup = functools.partial(corr_lookup_pallas, pyramid,
+                                       radius=cfg.corr_radius)
+        else:
+            lookup = functools.partial(corr_lookup_windowed, pyramid,
+                                       radius=cfg.corr_radius)
 
     gx, gy = np.meshgrid(np.arange(w, dtype=np.float32),
                          np.arange(h, dtype=np.float32))

@@ -1,0 +1,83 @@
+"""Pallas windowed-correlation kernel vs the XLA row-window lookup
+(interpret mode on the CPU mesh; on-TPU equality is probed by
+pallas_corr_supported and exercised via RAFTConfig(corr_impl='pallas')).
+
+Reference semantics: CorrBlock.__call__ (RAFT/core/corr.py:29-50) /
+alt_cuda_corr (correlation_kernel.cu:7-121).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mpiflow_tpu.models.raft import corr_lookup_windowed
+from mpiflow_tpu.ops.pallas_corr import corr_lookup_pallas, supported_shape
+
+
+def _pyramid(rng, P, h, w, levels=3):
+    pyr = []
+    hl, wl = h, w
+    for _ in range(levels):
+        pyr.append(jnp.asarray(rng.randn(P, hl, wl, 1).astype(np.float32)))
+        hl = max(hl // 2, 1)
+        wl = max(wl // 2, 1)
+    return pyr
+
+
+@pytest.mark.parametrize("radius", [3, 4])
+def test_forward_matches_xla(radius):
+    rng = np.random.RandomState(0)
+    N, h, w = 2, 8, 16
+    pyr = _pyramid(rng, N * h * w, h, w)
+    # coords deliberately run out of bounds on every side
+    coords = jnp.asarray(
+        (rng.rand(N, h, w, 2) * [w + 8, h + 8] - 4).astype(np.float32))
+    ref = corr_lookup_windowed(pyr, coords, radius)
+    got = corr_lookup_pallas(pyr, coords, radius, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-6, rtol=0)
+
+
+def test_backward_matches_xla():
+    rng = np.random.RandomState(1)
+    N, h, w = 1, 8, 16
+    pyr = _pyramid(rng, N * h * w, h, w, levels=2)
+    coords = jnp.asarray(
+        (rng.rand(N, h, w, 2) * [w - 1, h - 1]).astype(np.float32))
+    tang = jnp.asarray(rng.randn(N, h, w, 2 * 81).astype(np.float32))
+
+    def loss(fn, p):
+        return jnp.sum(fn(p, coords, 4) * tang)
+
+    g_ref = jax.grad(lambda p: loss(corr_lookup_windowed, p))(pyr)
+    g_got = jax.grad(
+        lambda p: loss(lambda *a: corr_lookup_pallas(*a, interpret=True),
+                       p))(pyr)
+    for a, b in zip(g_ref, g_got):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=1e-5, rtol=1e-5)
+
+
+def test_supported_shape_guard():
+    assert supported_shape(17280)
+    assert not supported_shape(17281)
+
+
+def test_raft_forward_dispatch_falls_back():
+    """corr_impl='pallas' on the CPU backend must silently fall back to the
+    XLA path (probe fails off-TPU) and produce identical flows."""
+    import dataclasses
+    from mpiflow_tpu.config import RAFTConfig
+    from mpiflow_tpu.models.raft import raft_forward
+    from mpiflow_tpu.cli.train_raft import init_random_params
+
+    rng = np.random.RandomState(2)
+    params = {k: jnp.asarray(v)
+              for k, v in init_random_params(True, 0).items()}
+    img1 = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32) * 255)
+    img2 = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32) * 255)
+    cfg = RAFTConfig.small_config()
+    ref = raft_forward(params, img1, img2, cfg, iters=2)
+    got = raft_forward(params, img1, img2,
+                       dataclasses.replace(cfg, corr_impl="pallas"), iters=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
