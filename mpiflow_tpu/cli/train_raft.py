@@ -45,10 +45,11 @@ def build_parser():
                    default="auto",
                    help="auto = freeze except for the chairs stage "
                         "(RAFT/train.py:146-148)")
-    p.add_argument("--corr_impl", choices=["xla", "pallas"], default="xla",
-                   help="windowed-correlation lookup: XLA row-window "
-                        "gather or the Pallas kernel (ops/pallas_corr; "
-                        "falls back to xla off-TPU)")
+    p.add_argument("--corr_impl", choices=["xla", "pallas"],
+                   default="pallas",
+                   help="windowed-correlation lookup: the Pallas kernel "
+                        "(ops/pallas_corr; bit-exact, falls back to xla "
+                        "off-TPU) or the XLA row-window gather")
     return p
 
 

@@ -131,10 +131,12 @@ class RAFTConfig:
     corr_radius: int = 4
     dropout: float = 0.0
     alternate_corr: bool = False
-    # "xla" = row-window gather lookup (corr_lookup_windowed); "pallas" =
-    # ops/pallas_corr kernel (alt_cuda_corr's TPU counterpart; falls back
-    # to xla when the backend/shape can't run it)
-    corr_impl: str = "xla"
+    # "pallas" = ops/pallas_corr kernel (alt_cuda_corr's TPU counterpart;
+    # bit-exact, probe-guarded fallback to xla off-TPU or on unsupported
+    # shapes); "xla" = row-window gather lookup (corr_lookup_windowed).
+    # Measured (tools/bench_corr.py, v5e, batch 4 288x960): 12-iter lookup
+    # chain 301->164 ms fwd / 446->256 ms fwd+bwd; train step 717->653 ms.
+    corr_impl: str = "pallas"
     # bf16 convs / f32 flow math (the reference's AMP); off by default so
     # parity tests and eval run pure f32 -- enable for training throughput
     mixed_precision: bool = False

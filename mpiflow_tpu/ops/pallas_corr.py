@@ -225,8 +225,9 @@ def pallas_corr_supported() -> bool:
                 (rng.rand(N, h, w, 2) * [w - 1, h - 1]).astype(np.float32))
             got = corr_lookup_pallas([corr], coords, radius=4)
             ref = corr_lookup_windowed([corr], coords, radius=4)
-            _SUPPORTED = bool(np.allclose(np.asarray(got), np.asarray(ref),
-                                          atol=1e-5))
+            # bit-exact on hardware (one-hot selection + HIGHEST-precision
+            # dots + identical bilinear expression)
+            _SUPPORTED = bool((np.asarray(got) == np.asarray(ref)).all())
         except Exception:  # pragma: no cover - environment dependent
             _SUPPORTED = False
     return _SUPPORTED
