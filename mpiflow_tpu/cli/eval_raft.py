@@ -21,8 +21,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--model", required=True,
                    help=".npz (trained here) or torch .pth checkpoint")
     p.add_argument("--dataset", required=True,
-                   choices=["kitti", "sintel", "chairs", "kitti_submission",
-                            "sintel_submission"])
+                   choices=["kitti", "sintel", "chairs", "mpiflow",
+                            "kitti_submission", "sintel_submission"])
     p.add_argument("--data_root", required=True)
     p.add_argument("--out", default="submission",
                    help="output dir for submission writers")
@@ -69,6 +69,11 @@ def main(argv=None) -> int:
     elif args.dataset == "chairs":
         res = ev.validate_chairs(params, args.data_root, cfg,
                                  iters=args.iters or 24)
+    elif args.dataset == "mpiflow":
+        # EPE on generator-output pairs (closing the quality loop on any
+        # generated dataset, e.g. a held-out split)
+        res = ev.validate_mpiflow(params, args.data_root, cfg,
+                                  iters=args.iters or 24)
     elif args.dataset == "kitti_submission":
         ev.create_kitti_submission(params, args.data_root, args.out, cfg,
                                    iters=args.iters or 24)
