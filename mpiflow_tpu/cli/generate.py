@@ -66,6 +66,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--profile", action="store_true",
                    help="report per-stage wall-clock means in the summary")
+    p.add_argument("--trace_dir", default=None,
+                   help="capture a jax.profiler device trace of the run "
+                        "into this dir (view with TensorBoard/XProf)")
     p.add_argument("--hard_flow", action="store_true")
     p.add_argument("--flow_viz", choices=["auto", "on", "off"],
                    default="auto",
@@ -130,8 +133,14 @@ def main(argv=None) -> int:
 
     from mpiflow_tpu.pipeline import DatasetGenerator
     gen = DatasetGenerator(cfg, mpi_predict_fn=mpi_fn)
-    stats = gen.run(args.base, args.out, limit=args.limit,
-                    profile=args.profile)
+    if args.trace_dir:
+        from mpiflow_tpu.utils.profiling import device_profile
+        with device_profile(args.trace_dir):
+            stats = gen.run(args.base, args.out, limit=args.limit,
+                            profile=args.profile)
+    else:
+        stats = gen.run(args.base, args.out, limit=args.limit,
+                        profile=args.profile)
     print(json.dumps(stats))
     return 0
 
