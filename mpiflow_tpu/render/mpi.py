@@ -383,11 +383,13 @@ def preblock_mpi(mpi_rgb: jnp.ndarray, mpi_sigma: jnp.ndarray,
     stack = jnp.concatenate(
         [rgb, mpi_sigma, jnp.broadcast_to(obj[None, None], (S, 1, H, W))],
         axis=1)                                               # [S,5,H,W]
-    # materialize the stack before the layout transform: without the
-    # barrier XLA fuses the blend/visibility math into all nine tap reads
-    # of the table build, recomputing it ~9x (measured: preblock 151 ms vs
-    # 69 ms for stack-math + table separately at 64x384x1280)
-    stack = jax.lax.optimization_barrier(stack)
+    # NOTE a barrier here (materializing the stack before the layout
+    # transform) makes preblock 2.5x faster STANDALONE (XLA otherwise
+    # fuses the blend math into all nine tap reads, recomputing it ~9x)
+    # but 15% SLOWER inside the full fused sample pipeline, where the
+    # recompute overlaps the gather-bound renders for free while the
+    # barrier forces a serialization point -- measured both ways on v5e
+    # (tools/bench_render_breakdown.py vs bench.py); keep the fusion.
     if pallas:
         from mpiflow_tpu.ops.pallas_warp import (supported_shape,
                                                  table_from_image)
