@@ -56,6 +56,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "current TPUs and falls back to preblocked when "
                         "the backend can't compile the kernel)")
     p.add_argument("--inpaint", choices=["jax", "cv2_ns"], default="jax")
+    p.add_argument("--warp_dtype", choices=["float32", "bfloat16"],
+                   default="float32",
+                   help="warp gather-table dtype: bfloat16 halves the "
+                        "bytes-bound warp kernel's HBM traffic (the "
+                        "reference renders from an fp16 model); "
+                        "ground-truth flow is unaffected (analytic). "
+                        "float32 = bit-exact parity with the oracle")
     p.add_argument("--rng", choices=["numpy", "jax"], default="numpy",
                    help="numpy = bit-parity with reference pose streams")
     p.add_argument("--limit", type=int, default=None,
@@ -90,7 +97,8 @@ def make_config(args):
         pose=PoseConfig(flavor=args.flavor, ext_cz=args.ext_cz,
                         base_motions=base_map[args.flavor]),
         render=RenderConfig(num_planes=args.planes, hard_flow=args.hard_flow,
-                            mode=args.render_mode),
+                            mode=args.render_mode,
+                            warp_dtype=args.warp_dtype),
         inpaint=InpaintConfig(method=args.inpaint),
         depth=DepthConfig(bilateral_iters=args.bilateral),
         rng_mode=args.rng, resume=not args.no_resume,

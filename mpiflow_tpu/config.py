@@ -61,6 +61,14 @@ class RenderConfig:
     # Compositing dtype. The reference runs fp16 end-to-end on GPU; we run
     # fp32 (TPU bf16 is too coarse for pixel-accurate flow).
     dtype: str = "float32"
+    # Dtype of the warp gather TABLE (preblocked/pallas modes). "bfloat16"
+    # halves the HBM traffic of the bytes-bound warp kernel; it rounds only
+    # the gathered rgb/sigma/mask channels (the reference itself renders
+    # from an fp16 model, utils/utils.py:188). Ground-truth flow is
+    # analytic + composited with f32 source weights, so it is UNCHANGED;
+    # compositing stays f32. "float32" (default) is bit-exact vs the
+    # reference oracle.
+    warp_dtype: str = "float32"
 
 
 @dataclasses.dataclass(frozen=True)

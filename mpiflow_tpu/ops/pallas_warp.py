@@ -51,11 +51,16 @@ KX = 128          # table tile width (block-cols);  window = 2*KX
 ROW_CANDS = 4     # candidate block-rows per output row (span guard <= 3)
 
 
-def supported_shape(H: int, W: int) -> bool:
-    """Static shape constraints of the kernel's tiling."""
+def supported_shape(H: int, W: int, ky: int = KY) -> bool:
+    """Static shape constraints of the kernel's tiling. bf16 tables need
+    ky=16 (Mosaic's minimum bf16 sublane tile); f32 uses ky=8."""
     Hb, Wb = H // 2, W // 2
-    return (H % (2 * KY) == 0 and W % (2 * KX) == 0
-            and Hb >= 2 * KY and Wb >= 2 * KX)
+    return (H % (2 * ky) == 0 and W % (2 * KX) == 0
+            and Hb >= 2 * ky and Wb >= 2 * KX)
+
+
+def ky_for_dtype(dtype) -> int:
+    return 16 if jnp.dtype(dtype).itemsize < 4 else KY
 
 
 def table_from_image(img: jnp.ndarray) -> jnp.ndarray:
@@ -88,7 +93,7 @@ def _tap_bases(coords: jnp.ndarray, H: int, W: int):
     return (x0.astype(jnp.int32), y0.astype(jnp.int32), x - x0, y - y0)
 
 
-def plan_warp(coords: jnp.ndarray, H: int, W: int):
+def plan_warp(coords: jnp.ndarray, H: int, W: int, ky: int = KY):
     """Host(XLA)-side planning for one plane: tile anchors, per-row bases,
     and the exact coverage predicate.
 
@@ -96,6 +101,7 @@ def plan_warp(coords: jnp.ndarray, H: int, W: int):
     Returns (qby [nb,nc], qbx [nb,nc], rowbase [nb,BAND_H,nc] int32,
              ok [] bool).
     """
+    KY = ky
     Hb, Wb = H // 2, W // 2
     nb, nc = H // BAND_H, W // CHUNK_W
     x0i, y0i, _, _ = _tap_bases(coords, H, W)
@@ -126,7 +132,8 @@ def plan_warp(coords: jnp.ndarray, H: int, W: int):
 
 def _warp_band_kernel(qby_ref, qbx_ref, rowbase_ref,
                       t00_ref, t01_ref, t10_ref, t11_ref, coords_ref,
-                      out_ref, lo_ref, hi_ref, *, C: int, H: int, W: int):
+                      out_ref, lo_ref, hi_ref, *, C: int, H: int, W: int,
+                      KY: int = KY):
     """One (band, chunk) step.
 
     t{y}{x}_ref: the four [9C, KY, KX] table tiles of the logical window.
@@ -140,10 +147,14 @@ def _warp_band_kernel(qby_ref, qbx_ref, rowbase_ref,
     # merge the y-tile pairs into VMEM scratch once per step so the per-row
     # candidate loop does ONE dynamic-slice load per (candidate, x-group)
     # instead of two loads + a select (dynamic slicing works on refs only)
-    lo_ref[:, 0:KY, :] = t00_ref[...]
-    lo_ref[:, KY:2 * KY, :] = t10_ref[...]
-    hi_ref[:, 0:KY, :] = t01_ref[...]
-    hi_ref[:, KY:2 * KY, :] = t11_ref[...]
+    # scratch is always f32: bf16 tables halve the HBM->VMEM DMA (the
+    # kernel's bound) and upcast here, keeping the per-row dynamic slices
+    # and vreg gathers on f32 layouts (Mosaic cannot dynamically slice
+    # single sublane rows of bf16 tiles)
+    lo_ref[:, 0:KY, :] = t00_ref[...].astype(lo_ref.dtype)
+    lo_ref[:, KY:2 * KY, :] = t10_ref[...].astype(lo_ref.dtype)
+    hi_ref[:, 0:KY, :] = t01_ref[...].astype(hi_ref.dtype)
+    hi_ref[:, KY:2 * KY, :] = t11_ref[...].astype(hi_ref.dtype)
 
     for i in range(BAND_H):
         cxy = coords_ref[:, i, :]                           # [2, 128]
@@ -166,7 +177,7 @@ def _warp_band_kernel(qby_ref, qbx_ref, rowbase_ref,
         in_hi_x = lx >= KX                                  # [1, 128]
         rb = rowbase_ref[iy, i, ix]                         # scalar in [0,2KY)
 
-        rows = jnp.zeros((9 * C, CHUNK_W), t00_ref.dtype)
+        rows = jnp.zeros((9 * C, CHUNK_W), jnp.float32)
         for j in range(ROW_CANDS):
             r = rb + j                                      # dynamic, [0,2KY)
             lo_y = lo_ref[:, pl.dslice(r, 1), :][:, 0, :]
@@ -196,16 +207,19 @@ def _warp_band_kernel(qby_ref, qbx_ref, rowbase_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("num_channels", "H", "W", "interpret"))
+                   static_argnames=("num_channels", "H", "W", "interpret",
+                                    "ky"))
 def warp_plane_pallas(table: jnp.ndarray, coords: jnp.ndarray,
                       qby: jnp.ndarray, qbx: jnp.ndarray,
                       rowbase: jnp.ndarray, num_channels: int,
-                      H: int, W: int, interpret: bool = False) -> jnp.ndarray:
+                      H: int, W: int, interpret: bool = False,
+                      ky: int = KY) -> jnp.ndarray:
     """Warp one plane. table [9C,Hb,Wb]; coords [H,W,2]; planning arrays
     from `plan_warp`. Returns [C,H,W]; bit-identical to
     bilinear_sample_border(img, coords) whenever plan_warp's `ok` holds.
     """
     C = num_channels
+    KY = ky
     nb, nc = H // BAND_H, W // CHUNK_W
     cT = coords.transpose(2, 0, 1)                          # [2, H, W]
 
@@ -222,7 +236,7 @@ def warp_plane_pallas(table: jnp.ndarray, coords: jnp.ndarray,
         return (0, qby[iy, ix] + 1, qbx[iy, ix] + 1)
 
     out = pl.pallas_call(
-        functools.partial(_warp_band_kernel, C=C, H=H, W=W),
+        functools.partial(_warp_band_kernel, C=C, H=H, W=W, KY=KY),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(nb, nc),
@@ -237,11 +251,13 @@ def warp_plane_pallas(table: jnp.ndarray, coords: jnp.ndarray,
             out_specs=pl.BlockSpec((C, BAND_H, CHUNK_W),
                                    lambda iy, ix, *_: (0, iy, ix)),
             scratch_shapes=[
-                pltpu.VMEM((9 * C, 2 * KY, KX), table.dtype),
-                pltpu.VMEM((9 * C, 2 * KY, KX), table.dtype),
+                pltpu.VMEM((9 * C, 2 * KY, KX), jnp.float32),
+                pltpu.VMEM((9 * C, 2 * KY, KX), jnp.float32),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((C, H, W), table.dtype),
+        # output always f32: with a bf16 table the gathered taps are
+        # combined with f32 bilinear weights (promotion in the final FMA)
+        out_shape=jax.ShapeDtypeStruct((C, H, W), jnp.float32),
         interpret=interpret,
     )(qby, qbx, rowbase, table, table, table, table, cT)
     return out
@@ -250,37 +266,47 @@ def warp_plane_pallas(table: jnp.ndarray, coords: jnp.ndarray,
 def bilinear_sample_pallas(img: jnp.ndarray, coords: jnp.ndarray,
                            interpret: bool = False):
     """Convenience wrapper: (img [C,H,W], coords [H,W,2]) ->
-    (warped [C,H,W], ok bool). Callers must fall back to the XLA sampler
-    when `ok` is False (lax.cond); see render/mpi.py."""
+    (warped [C,H,W] f32, ok bool). Callers must fall back to the XLA
+    sampler when `ok` is False (lax.cond); see render/mpi.py."""
     C, H, W = img.shape
+    ky = ky_for_dtype(img.dtype)
     table = table_from_image(img)
-    qby, qbx, rowbase, ok = plan_warp(coords, H, W)
+    qby, qbx, rowbase, ok = plan_warp(coords, H, W, ky=ky)
     out = warp_plane_pallas(table, coords, qby, qbx, rowbase, C, H, W,
-                            interpret=interpret)
+                            interpret=interpret, ky=ky)
     return out, ok
 
 
-_SUPPORTED = None
+_SUPPORTED = {}
 
 
-def pallas_warp_supported(H: int = 32, W: int = 512) -> bool:
+def pallas_warp_supported(H: int = 64, W: int = 512,
+                          dtype=jnp.float32) -> bool:
     """True if the current backend compiles+runs the warp kernel correctly
-    (some remote Mosaic services reject parts of Pallas; probe once)."""
-    global _SUPPORTED
-    if _SUPPORTED is None:
+    for this table dtype (some remote Mosaic services reject parts of
+    Pallas; probe once per dtype). f32 must match the XLA border sampler
+    bit-exactly; bf16 within bf16 rounding of the gathered values."""
+    key = jnp.dtype(dtype).name
+    if key not in _SUPPORTED:
         try:
             from mpiflow_tpu.ops.resample import bilinear_sample_border
             rng = np.random.RandomState(0)
-            img = jnp.asarray(rng.rand(2, H, W).astype(np.float32))
+            img32 = rng.rand(2, H, W).astype(np.float32)
+            img = jnp.asarray(img32).astype(dtype)
             yy, xx = np.meshgrid(np.arange(H, dtype=np.float32),
                                  np.arange(W, dtype=np.float32),
                                  indexing="ij")
             coords = jnp.asarray(
                 np.stack([xx * 1.1 - 3 + 0.02 * yy, yy * 0.9 + 1], -1))
             out, ok = bilinear_sample_pallas(img, coords)
-            ref = bilinear_sample_border(img, coords)
-            _SUPPORTED = bool(ok) and bool(
-                (np.asarray(out) == np.asarray(ref)).all())
+            ref = bilinear_sample_border(
+                img.astype(jnp.float32), coords)
+            if jnp.dtype(dtype) == jnp.float32:
+                good = bool((np.asarray(out) == np.asarray(ref)).all())
+            else:
+                good = bool(np.allclose(np.asarray(out), np.asarray(ref),
+                                        atol=1e-2))
+            _SUPPORTED[key] = bool(ok) and good
         except Exception:  # pragma: no cover - environment dependent
-            _SUPPORTED = False
-    return _SUPPORTED
+            _SUPPORTED[key] = False
+    return _SUPPORTED[key]

@@ -81,7 +81,8 @@ def render_dynamic_sample(mpi_rgb: jnp.ndarray,
                           hard_flow: bool = False,
                           inpaint_iters: int = 128,
                           inpaint_on_device: bool = True,
-                          mode: str = "scan") -> DynamicSample:
+                          mode: str = "scan",
+                          warp_dtype=None) -> DynamicSample:
     """Full dynamic-object sample generation (render_3dphoto_dynamic).
 
     Args:
@@ -108,7 +109,8 @@ def render_dynamic_sample(mpi_rgb: jnp.ndarray,
         pre = preblock_mpi(mpi_rgb, mpi_sigma, disparities, K_src,
                            src_img=src_img, obj_mask=obj_mask,
                            halo=5 if mode == "quad" else 3,
-                           pallas=mode == "pallas")
+                           pallas=mode == "pallas",
+                           warp_dtype=warp_dtype)
         r_obj = render_novel_view_preblocked(pre, disparities, G_obj,
                                              K_src, K_tgt,
                                              flow_clip=flow_clip,

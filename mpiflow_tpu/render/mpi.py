@@ -351,7 +351,8 @@ def preblock_mpi(mpi_rgb: jnp.ndarray, mpi_sigma: jnp.ndarray,
                  obj_mask: Optional[jnp.ndarray] = None,
                  cumprod_eps: float = 1e-6,
                  far_cap: float = 1e3, halo: int = 3,
-                 pallas: bool = False) -> PreblockedMPI:
+                 pallas: bool = False,
+                 warp_dtype=None) -> PreblockedMPI:
     """Precompute the pose-independent half of render_novel_view.
 
     halo=5 enables the quad (one-gather-per-2x2-tile) render path in
@@ -390,10 +391,15 @@ def preblock_mpi(mpi_rgb: jnp.ndarray, mpi_sigma: jnp.ndarray,
     # recompute overlaps the gather-bound renders for free while the
     # barrier forces a serialization point -- measured both ways on v5e
     # (tools/bench_render_breakdown.py vs bench.py); keep the fusion.
+    if warp_dtype is not None:
+        # bf16 tables halve the HBM traffic of the bytes-bound warp; flow
+        # stays exact (analytic coords + f32 w_src), see RenderConfig
+        stack = stack.astype(warp_dtype)
     if pallas:
-        from mpiflow_tpu.ops.pallas_warp import (supported_shape,
+        from mpiflow_tpu.ops.pallas_warp import (ky_for_dtype,
+                                                 supported_shape,
                                                  table_from_image)
-        if supported_shape(H, W):
+        if supported_shape(H, W, ky_for_dtype(stack.dtype)):
             blocked = jax.vmap(table_from_image)(stack)   # [S,45,Hb,Wb]
             return PreblockedMPI(blocked=blocked, w_src=w_src,
                                  mpi_sigma=mpi_sigma, height=H, width=W,
@@ -432,7 +438,8 @@ def render_novel_view_preblocked(pre: PreblockedMPI,
                                           tile2_spread_ok)
     S = pre.blocked.shape[0]
     H, W = pre.height, pre.width
-    dtype = pre.blocked.dtype
+    # compositing always runs f32 even over a bf16 gather table
+    dtype = jnp.promote_types(pre.blocked.dtype, jnp.float32)
     grid = jnp.asarray(pixel_grid_homo(H, W), dtype)
     grid_flat = grid.reshape(3, -1)
 
@@ -466,7 +473,8 @@ def render_novel_view_preblocked(pre: PreblockedMPI,
             (T_tgt_acc, w_sum, rgb_acc, z_acc, obj_acc, flow_acc, wmax,
              flow_at_max, prev_rgb, prev_sigma, prev_xyz, prev_obj) = carry
             s_idx, depth_s, coords, flow_s, w_src_s = xs[:5]
-            warped5 = warp_fn(s_idx, coords.transpose(1, 2, 0), xs[5:])
+            warped5 = warp_fn(s_idx, coords.transpose(1, 2, 0),
+                              xs[5:]).astype(dtype)
             rgb_w = warped5[0:3]
             sigma_w = warped5[3]
             obj_w = warped5[4]
@@ -523,17 +531,20 @@ def render_novel_view_preblocked(pre: PreblockedMPI,
         # Pallas warp kernel path with an exact-coverage guard; the
         # fallback re-lays the tables out for the XLA sampler (only
         # executed -- and only worth paying for -- on extreme warps)
-        from mpiflow_tpu.ops.pallas_warp import plan_warp, warp_plane_pallas
+        from mpiflow_tpu.ops.pallas_warp import (ky_for_dtype, plan_warp,
+                                                 warp_plane_pallas)
         interp = jax.default_backend() == "cpu"
+        ky = ky_for_dtype(pre.blocked.dtype)
         qby, qbx, rowbase, oks = jax.vmap(
-            lambda c: plan_warp(c, H, W))(coords_all.transpose(0, 2, 3, 1))
+            lambda c: plan_warp(c, H, W, ky=ky))(
+                coords_all.transpose(0, 2, 3, 1))
         ok = oks.all()
         xs_p = xs + (pre.blocked, qby, qbx, rowbase)
 
         def pallas_warp(s_idx, c, extra):
             table_s, qby_s, qbx_s, rb_s = extra
             return warp_plane_pallas(table_s, c, qby_s, qbx_s, rb_s,
-                                     5, H, W, interpret=interp)
+                                     5, H, W, interpret=interp, ky=ky)
 
         def fallback_warp(s_idx, c, extra):
             table_s = extra[0]                            # [45,Hb,Wb]
