@@ -93,15 +93,21 @@ def _tap_bases(coords: jnp.ndarray, H: int, W: int):
     return (x0.astype(jnp.int32), y0.astype(jnp.int32), x - x0, y - y0)
 
 
-def plan_warp(coords: jnp.ndarray, H: int, W: int, ky: int = KY):
+def plan_warp(coords: jnp.ndarray, H: int, W: int, ky: int = KY,
+              row_cands: int = ROW_CANDS):
     """Host(XLA)-side planning for one plane: tile anchors, per-row bases,
     and the exact coverage predicate.
 
     coords: [H, W, 2] raw pixel coordinates.
+    row_cands: candidate block-rows the kernel will scan per output row;
+    the returned `ok` is False whenever any row's block span exceeds it
+    (mild warps fit 2 -- half the kernel's gather work; 4 covers every
+    warp the coverage window accepts).
     Returns (qby [nb,nc], qbx [nb,nc], rowbase [nb,BAND_H,nc] int32,
              ok [] bool).
     """
     KY = ky
+    ROW_CANDS = row_cands
     Hb, Wb = H // 2, W // 2
     nb, nc = H // BAND_H, W // CHUNK_W
     x0i, y0i, _, _ = _tap_bases(coords, H, W)
@@ -133,7 +139,7 @@ def plan_warp(coords: jnp.ndarray, H: int, W: int, ky: int = KY):
 def _warp_band_kernel(qby_ref, qbx_ref, rowbase_ref,
                       t00_ref, t01_ref, t10_ref, t11_ref, coords_ref,
                       out_ref, lo_ref, hi_ref, *, C: int, H: int, W: int,
-                      KY: int = KY):
+                      KY: int = KY, RC: int = ROW_CANDS):
     """One (band, chunk) step.
 
     t{y}{x}_ref: the four [9C, KY, KX] table tiles of the logical window.
@@ -178,7 +184,7 @@ def _warp_band_kernel(qby_ref, qbx_ref, rowbase_ref,
         rb = rowbase_ref[iy, i, ix]                         # scalar in [0,2KY)
 
         rows = jnp.zeros((9 * C, CHUNK_W), jnp.float32)
-        for j in range(ROW_CANDS):
+        for j in range(RC):
             r = rb + j                                      # dynamic, [0,2KY)
             lo_y = lo_ref[:, pl.dslice(r, 1), :][:, 0, :]
             hi_y = hi_ref[:, pl.dslice(r, 1), :][:, 0, :]
@@ -208,12 +214,13 @@ def _warp_band_kernel(qby_ref, qbx_ref, rowbase_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("num_channels", "H", "W", "interpret",
-                                    "ky"))
+                                    "ky", "row_cands"))
 def warp_plane_pallas(table: jnp.ndarray, coords: jnp.ndarray,
                       qby: jnp.ndarray, qbx: jnp.ndarray,
                       rowbase: jnp.ndarray, num_channels: int,
                       H: int, W: int, interpret: bool = False,
-                      ky: int = KY) -> jnp.ndarray:
+                      ky: int = KY,
+                      row_cands: int = ROW_CANDS) -> jnp.ndarray:
     """Warp one plane. table [9C,Hb,Wb]; coords [H,W,2]; planning arrays
     from `plan_warp`. Returns [C,H,W]; bit-identical to
     bilinear_sample_border(img, coords) whenever plan_warp's `ok` holds.
@@ -236,7 +243,8 @@ def warp_plane_pallas(table: jnp.ndarray, coords: jnp.ndarray,
         return (0, qby[iy, ix] + 1, qbx[iy, ix] + 1)
 
     out = pl.pallas_call(
-        functools.partial(_warp_band_kernel, C=C, H=H, W=W, KY=KY),
+        functools.partial(_warp_band_kernel, C=C, H=H, W=W, KY=KY,
+                          RC=row_cands),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(nb, nc),

@@ -535,16 +535,26 @@ def render_novel_view_preblocked(pre: PreblockedMPI,
                                                  warp_plane_pallas)
         interp = jax.default_backend() == "cpu"
         ky = ky_for_dtype(pre.blocked.dtype)
-        qby, qbx, rowbase, oks = jax.vmap(
-            lambda c: plan_warp(c, H, W, ky=ky))(
-                coords_all.transpose(0, 2, 3, 1))
-        ok = oks.all()
-        xs_p = xs + (pre.blocked, qby, qbx, rowbase)
+        coordsT = coords_all.transpose(0, 2, 3, 1)
+        # two kernel variants: 2 row candidates cover mild warps (half the
+        # per-row gather work, most planes in practice); 4 cover any warp
+        # the coverage window accepts; exact XLA fallback beyond that
+        qby2, qbx2, rb2, oks2 = jax.vmap(
+            lambda c: plan_warp(c, H, W, ky=ky, row_cands=2))(coordsT)
+        qby4, qbx4, rb4, oks4 = jax.vmap(
+            lambda c: plan_warp(c, H, W, ky=ky, row_cands=4))(coordsT)
+        ok2 = oks2.all()
+        ok4 = oks4.all()
+        xs_p2 = xs + (pre.blocked, qby2, qbx2, rb2)
+        xs_p4 = xs + (pre.blocked, qby4, qbx4, rb4)
 
-        def pallas_warp(s_idx, c, extra):
-            table_s, qby_s, qbx_s, rb_s = extra
-            return warp_plane_pallas(table_s, c, qby_s, qbx_s, rb_s,
-                                     5, H, W, interpret=interp, ky=ky)
+        def pallas_warp(rc):
+            def warp(s_idx, c, extra):
+                table_s, qby_s, qbx_s, rb_s = extra
+                return warp_plane_pallas(table_s, c, qby_s, qbx_s, rb_s,
+                                         5, H, W, interpret=interp, ky=ky,
+                                         row_cands=rc)
+            return warp
 
         def fallback_warp(s_idx, c, extra):
             table_s = extra[0]                            # [45,Hb,Wb]
@@ -552,9 +562,14 @@ def render_novel_view_preblocked(pre: PreblockedMPI,
             return bilinear_sample_blocked(blocked_s, 5, H, W, c)
 
         carry = jax.lax.cond(
-            ok,
-            lambda: jax.lax.scan(make_step(pallas_warp), init, xs_p)[0],
-            lambda: jax.lax.scan(make_step(fallback_warp), init, xs_p)[0])
+            ok2,
+            lambda: jax.lax.scan(make_step(pallas_warp(2)), init, xs_p2)[0],
+            lambda: jax.lax.cond(
+                ok4,
+                lambda: jax.lax.scan(make_step(pallas_warp(4)), init,
+                                     xs_p4)[0],
+                lambda: jax.lax.scan(make_step(fallback_warp), init,
+                                     xs_p4)[0]))
     elif halo == 5:
         # quad path if every plane's warp is tile-coherent, else exact
         # per-pixel fallback (numerics of the two paths are bit-identical
