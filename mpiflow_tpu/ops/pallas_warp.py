@@ -132,11 +132,14 @@ def plan_warp(coords: jnp.ndarray, H: int, W: int, ky: int = KY,
           & (by_min - qby * KY >= 0).all()
           & (bx_min - qbx * KX >= 0).all()
           & (row_max - row_min <= ROW_CANDS - 1).all())
+    # chunks whose x-windows never touch the hi x-tile skip half the
+    # per-candidate gather work in the kernel (~half of all chunks)
+    needs_hi = (bx_max - qbx * KX >= KX)
     return (qby.astype(jnp.int32), qbx.astype(jnp.int32),
-            rowbase.astype(jnp.int32), ok)
+            rowbase.astype(jnp.int32), needs_hi.astype(jnp.int32), ok)
 
 
-def _warp_band_kernel(qby_ref, qbx_ref, rowbase_ref,
+def _warp_band_kernel(qby_ref, qbx_ref, rowbase_ref, hx_ref,
                       t00_ref, t01_ref, t10_ref, t11_ref, coords_ref,
                       out_ref, lo_ref, hi_ref, *, C: int, H: int, W: int,
                       KY: int = KY, RC: int = ROW_CANDS):
@@ -144,11 +147,15 @@ def _warp_band_kernel(qby_ref, qbx_ref, rowbase_ref,
 
     t{y}{x}_ref: the four [9C, KY, KX] table tiles of the logical window.
     coords_ref: [2, BAND_H, CHUNK_W]; out_ref: [C, BAND_H, CHUNK_W].
+    hx_ref[iy, ix] == 0 marks chunks whose x-windows stay inside the lo
+    x-tile: those skip the hi merge + the hi gather per candidate --
+    exact, since in_hi_x is all-false there so cand == g_lo.
     """
     iy = pl.program_id(0)
     ix = pl.program_id(1)
     base_y = qby_ref[iy, ix] * KY
     base_x = qbx_ref[iy, ix] * KX
+    use_hi = hx_ref[iy, ix] != 0
 
     # merge the y-tile pairs into VMEM scratch once per step so the per-row
     # candidate loop does ONE dynamic-slice load per (candidate, x-group)
@@ -159,57 +166,74 @@ def _warp_band_kernel(qby_ref, qbx_ref, rowbase_ref,
     # single sublane rows of bf16 tiles)
     lo_ref[:, 0:KY, :] = t00_ref[...].astype(lo_ref.dtype)
     lo_ref[:, KY:2 * KY, :] = t10_ref[...].astype(lo_ref.dtype)
-    hi_ref[:, 0:KY, :] = t01_ref[...].astype(hi_ref.dtype)
-    hi_ref[:, KY:2 * KY, :] = t11_ref[...].astype(hi_ref.dtype)
 
-    for i in range(BAND_H):
-        cxy = coords_ref[:, i, :]                           # [2, 128]
-        x = jnp.clip(cxy[0:1], 0.0, W - 1.0)
-        y = jnp.clip(cxy[1:2], 0.0, H - 1.0)
-        x0 = jnp.minimum(jnp.floor(x), W - 2.0)
-        y0 = jnp.minimum(jnp.floor(y), H - 2.0)
-        fx = x - x0                                         # [1, 128]
-        fy = y - y0
-        x0i = x0.astype(jnp.int32)
-        y0i = y0.astype(jnp.int32)
-        ly = (y0i >> 1) - base_y                            # [1,128] in [0,2KY)
-        lx = (x0i >> 1) - base_x                            # [1,128] in [0,2KX)
-        oy = y0i & 1
-        ox = x0i & 1
+    @pl.when(use_hi)
+    def _():
+        hi_ref[:, 0:KY, :] = t01_ref[...].astype(hi_ref.dtype)
+        hi_ref[:, KY:2 * KY, :] = t11_ref[...].astype(hi_ref.dtype)
 
-        lx_lo = jnp.broadcast_to(jnp.clip(lx, 0, KX - 1), (9 * C, CHUNK_W))
-        lx_hi = jnp.broadcast_to(jnp.clip(lx - KX, 0, KX - 1),
-                                 (9 * C, CHUNK_W))
-        in_hi_x = lx >= KX                                  # [1, 128]
-        rb = rowbase_ref[iy, i, ix]                         # scalar in [0,2KY)
+    def band(with_hi):
+        for i in range(BAND_H):
+            cxy = coords_ref[:, i, :]                       # [2, 128]
+            x = jnp.clip(cxy[0:1], 0.0, W - 1.0)
+            y = jnp.clip(cxy[1:2], 0.0, H - 1.0)
+            x0 = jnp.minimum(jnp.floor(x), W - 2.0)
+            y0 = jnp.minimum(jnp.floor(y), H - 2.0)
+            fx = x - x0                                     # [1, 128]
+            fy = y - y0
+            x0i = x0.astype(jnp.int32)
+            y0i = y0.astype(jnp.int32)
+            ly = (y0i >> 1) - base_y                        # [0,2KY)
+            lx = (x0i >> 1) - base_x                        # [0,2KX)
+            oy = y0i & 1
+            ox = x0i & 1
 
-        rows = jnp.zeros((9 * C, CHUNK_W), jnp.float32)
-        for j in range(RC):
-            r = rb + j                                      # dynamic, [0,2KY)
-            lo_y = lo_ref[:, pl.dslice(r, 1), :][:, 0, :]
-            hi_y = hi_ref[:, pl.dslice(r, 1), :][:, 0, :]
-            g_lo = jnp.take_along_axis(lo_y, lx_lo, axis=1)  # [9C, 128]
-            g_hi = jnp.take_along_axis(hi_y, lx_hi, axis=1)
-            cand = jnp.where(in_hi_x, g_hi, g_lo)
-            rows = rows + jnp.where(ly == r, cand, 0.0)
+            lx_lo = jnp.broadcast_to(jnp.clip(lx, 0, KX - 1),
+                                     (9 * C, CHUNK_W))
+            rb = rowbase_ref[iy, i, ix]                     # in [0,2KY)
+            if with_hi:
+                lx_hi = jnp.broadcast_to(jnp.clip(lx - KX, 0, KX - 1),
+                                         (9 * C, CHUNK_W))
+                in_hi_x = lx >= KX                          # [1, 128]
 
-        def tap(dy, dx):
-            def patch(a, b):
-                t = a * 3 + b
-                return rows[t * C:(t + 1) * C, :]           # [C, 128]
-            v00 = patch(dy, dx)
-            v01 = patch(dy, dx + 1)
-            v10 = patch(dy + 1, dx)
-            v11 = patch(dy + 1, dx + 1)
-            return jnp.where(oy == 0, jnp.where(ox == 0, v00, v01),
-                             jnp.where(ox == 0, v10, v11))
+            rows = jnp.zeros((9 * C, CHUNK_W), jnp.float32)
+            for j in range(RC):
+                r = rb + j                                  # dynamic
+                lo_y = lo_ref[:, pl.dslice(r, 1), :][:, 0, :]
+                g_lo = jnp.take_along_axis(lo_y, lx_lo, axis=1)
+                if with_hi:
+                    hi_y = hi_ref[:, pl.dslice(r, 1), :][:, 0, :]
+                    g_hi = jnp.take_along_axis(hi_y, lx_hi, axis=1)
+                    cand = jnp.where(in_hi_x, g_hi, g_lo)
+                else:
+                    cand = g_lo
+                rows = rows + jnp.where(ly == r, cand, 0.0)
 
-        w00 = (1 - fy) * (1 - fx)
-        w01 = (1 - fy) * fx
-        w10 = fy * (1 - fx)
-        w11 = fy * fx
-        out_ref[:, i, :] = (tap(0, 0) * w00 + tap(0, 1) * w01
-                            + tap(1, 0) * w10 + tap(1, 1) * w11)
+            def tap(dy, dx):
+                def patch(a, b):
+                    t = a * 3 + b
+                    return rows[t * C:(t + 1) * C, :]       # [C, 128]
+                v00 = patch(dy, dx)
+                v01 = patch(dy, dx + 1)
+                v10 = patch(dy + 1, dx)
+                v11 = patch(dy + 1, dx + 1)
+                return jnp.where(oy == 0, jnp.where(ox == 0, v00, v01),
+                                 jnp.where(ox == 0, v10, v11))
+
+            w00 = (1 - fy) * (1 - fx)
+            w01 = (1 - fy) * fx
+            w10 = fy * (1 - fx)
+            w11 = fy * fx
+            out_ref[:, i, :] = (tap(0, 0) * w00 + tap(0, 1) * w01
+                                + tap(1, 0) * w10 + tap(1, 1) * w11)
+
+    @pl.when(use_hi)
+    def _():
+        band(True)
+
+    @pl.when(jnp.logical_not(use_hi))
+    def _():
+        band(False)
 
 
 @functools.partial(jax.jit,
@@ -217,7 +241,8 @@ def _warp_band_kernel(qby_ref, qbx_ref, rowbase_ref,
                                     "ky", "row_cands"))
 def warp_plane_pallas(table: jnp.ndarray, coords: jnp.ndarray,
                       qby: jnp.ndarray, qbx: jnp.ndarray,
-                      rowbase: jnp.ndarray, num_channels: int,
+                      rowbase: jnp.ndarray, needs_hi: jnp.ndarray,
+                      num_channels: int,
                       H: int, W: int, interpret: bool = False,
                       ky: int = KY,
                       row_cands: int = ROW_CANDS) -> jnp.ndarray:
@@ -230,23 +255,23 @@ def warp_plane_pallas(table: jnp.ndarray, coords: jnp.ndarray,
     nb, nc = H // BAND_H, W // CHUNK_W
     cT = coords.transpose(2, 0, 1)                          # [2, H, W]
 
-    def y_lo(iy, ix, qby, qbx, rb):
+    def y_lo(iy, ix, qby, qbx, rb, hx):
         return (0, qby[iy, ix], qbx[iy, ix])
 
-    def y_hi(iy, ix, qby, qbx, rb):
+    def y_hi(iy, ix, qby, qbx, rb, hx):
         return (0, qby[iy, ix] + 1, qbx[iy, ix])
 
-    def x_hi(iy, ix, qby, qbx, rb):
+    def x_hi(iy, ix, qby, qbx, rb, hx):
         return (0, qby[iy, ix], qbx[iy, ix] + 1)
 
-    def yx_hi(iy, ix, qby, qbx, rb):
+    def yx_hi(iy, ix, qby, qbx, rb, hx):
         return (0, qby[iy, ix] + 1, qbx[iy, ix] + 1)
 
     out = pl.pallas_call(
         functools.partial(_warp_band_kernel, C=C, H=H, W=W, KY=KY,
                           RC=row_cands),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=4,
             grid=(nb, nc),
             in_specs=[
                 pl.BlockSpec((9 * C, KY, KX), y_lo),
@@ -267,7 +292,7 @@ def warp_plane_pallas(table: jnp.ndarray, coords: jnp.ndarray,
         # combined with f32 bilinear weights (promotion in the final FMA)
         out_shape=jax.ShapeDtypeStruct((C, H, W), jnp.float32),
         interpret=interpret,
-    )(qby, qbx, rowbase, table, table, table, table, cT)
+    )(qby, qbx, rowbase, needs_hi, table, table, table, table, cT)
     return out
 
 
@@ -279,9 +304,9 @@ def bilinear_sample_pallas(img: jnp.ndarray, coords: jnp.ndarray,
     C, H, W = img.shape
     ky = ky_for_dtype(img.dtype)
     table = table_from_image(img)
-    qby, qbx, rowbase, ok = plan_warp(coords, H, W, ky=ky)
-    out = warp_plane_pallas(table, coords, qby, qbx, rowbase, C, H, W,
-                            interpret=interpret, ky=ky)
+    qby, qbx, rowbase, needs_hi, ok = plan_warp(coords, H, W, ky=ky)
+    out = warp_plane_pallas(table, coords, qby, qbx, rowbase, needs_hi,
+                            C, H, W, interpret=interpret, ky=ky)
     return out, ok
 
 

@@ -539,21 +539,21 @@ def render_novel_view_preblocked(pre: PreblockedMPI,
         # two kernel variants: 2 row candidates cover mild warps (half the
         # per-row gather work, most planes in practice); 4 cover any warp
         # the coverage window accepts; exact XLA fallback beyond that
-        qby2, qbx2, rb2, oks2 = jax.vmap(
+        qby2, qbx2, rb2, hx2, oks2 = jax.vmap(
             lambda c: plan_warp(c, H, W, ky=ky, row_cands=2))(coordsT)
-        qby4, qbx4, rb4, oks4 = jax.vmap(
+        qby4, qbx4, rb4, hx4, oks4 = jax.vmap(
             lambda c: plan_warp(c, H, W, ky=ky, row_cands=4))(coordsT)
         ok2 = oks2.all()
         ok4 = oks4.all()
-        xs_p2 = xs + (pre.blocked, qby2, qbx2, rb2)
-        xs_p4 = xs + (pre.blocked, qby4, qbx4, rb4)
+        xs_p2 = xs + (pre.blocked, qby2, qbx2, rb2, hx2)
+        xs_p4 = xs + (pre.blocked, qby4, qbx4, rb4, hx4)
 
         def pallas_warp(rc):
             def warp(s_idx, c, extra):
-                table_s, qby_s, qbx_s, rb_s = extra
+                table_s, qby_s, qbx_s, rb_s, hx_s = extra
                 return warp_plane_pallas(table_s, c, qby_s, qbx_s, rb_s,
-                                         5, H, W, interpret=interp, ky=ky,
-                                         row_cands=rc)
+                                         hx_s, 5, H, W, interpret=interp,
+                                         ky=ky, row_cands=rc)
             return warp
 
         def fallback_warp(s_idx, c, extra):

@@ -40,9 +40,9 @@ def test_matches_border_sampler():
                    _coords(1.0, 0.0, 0.0, 0.0)):
         ref = bilinear_sample_border(img, coords)
         table = table_from_image(img)
-        qby, qbx, rb, ok = plan_warp(coords, H, W)
+        qby, qbx, rb, hx, ok = plan_warp(coords, H, W)
         assert bool(ok)
-        out = warp_plane_pallas(table, coords, qby, qbx, rb, C, H, W,
+        out = warp_plane_pallas(table, coords, qby, qbx, rb, hx, C, H, W,
                                 interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=0, atol=2e-7)
@@ -57,12 +57,12 @@ def test_guard_trips_on_extreme_stretch():
     yy, xx = np.meshgrid(np.arange(H2, dtype=np.float32),
                          np.arange(W2, dtype=np.float32), indexing="ij")
     coords = jnp.asarray(np.stack([xx * 3.0 - 900.0, yy * 3.0 - 300.0], -1))
-    _, _, _, ok = plan_warp(coords, H2, W2)
+    *_, ok = plan_warp(coords, H2, W2)
     assert not bool(ok)
     # and the benign case at the same size passes
     coords2 = jnp.asarray(np.stack([xx * 1.15 - 5.0 + 0.02 * yy,
                                     yy * 0.9 + 3.0], -1))
-    _, _, _, ok2 = plan_warp(coords2, H2, W2)
+    *_, ok2 = plan_warp(coords2, H2, W2)
     assert bool(ok2)
 
 
@@ -71,7 +71,7 @@ def test_guard_trips_on_row_incoherence():
     yy, xx = np.meshgrid(np.arange(H, dtype=np.float32),
                          np.arange(W, dtype=np.float32), indexing="ij")
     coords = jnp.asarray(np.stack([xx, yy + 0.1 * xx], -1))  # dy/dx = 0.1
-    _, _, _, ok = plan_warp(coords, H, W)
+    *_, ok = plan_warp(coords, H, W)
     # 0.1 * 512px = 51px span per row >> ROW_CANDS*2
     assert not bool(ok)
 
