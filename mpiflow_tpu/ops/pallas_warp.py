@@ -132,11 +132,17 @@ def plan_warp(coords: jnp.ndarray, H: int, W: int, ky: int = KY,
           & (by_min - qby * KY >= 0).all()
           & (bx_min - qbx * KX >= 0).all()
           & (row_max - row_min <= ROW_CANDS - 1).all())
-    # chunks whose x-windows never touch the hi x-tile skip half the
-    # per-candidate gather work in the kernel (~half of all chunks)
-    needs_hi = (bx_max - qbx * KX >= KX)
+    # Per-chunk kernel-work flags (both skips are EXACT -- candidates /
+    # taps outside the marked region are mask-rejected in the kernel):
+    #   bit 0: x-windows touch the hi x-tile (else skip the hi merge +
+    #          hi gather per candidate, ~half of all chunks)
+    #   bit 1: some candidate row lies in the upper y-tile halves (else
+    #          skip the t10/t11 scratch merges)
+    needs_hi = (bx_max - qbx * KX >= KX).astype(jnp.int32)
+    needs_hy = (rowbase.max(axis=1) + ROW_CANDS - 1 >= KY).astype(jnp.int32)
+    flags = needs_hi | (needs_hy << 1)
     return (qby.astype(jnp.int32), qbx.astype(jnp.int32),
-            rowbase.astype(jnp.int32), needs_hi.astype(jnp.int32), ok)
+            rowbase.astype(jnp.int32), flags, ok)
 
 
 def _warp_band_kernel(qby_ref, qbx_ref, rowbase_ref, hx_ref,
@@ -147,29 +153,42 @@ def _warp_band_kernel(qby_ref, qbx_ref, rowbase_ref, hx_ref,
 
     t{y}{x}_ref: the four [9C, KY, KX] table tiles of the logical window.
     coords_ref: [2, BAND_H, CHUNK_W]; out_ref: [C, BAND_H, CHUNK_W].
-    hx_ref[iy, ix] == 0 marks chunks whose x-windows stay inside the lo
-    x-tile: those skip the hi merge + the hi gather per candidate --
-    exact, since in_hi_x is all-false there so cand == g_lo.
+    hx_ref[iy, ix] holds per-chunk work flags from plan_warp: bit 0 set
+    when the x-windows touch the hi x-tile (else the hi merge + hi gather
+    per candidate are skipped -- exact, in_hi_x is all-false there), bit 1
+    set when a candidate row lives in the upper y-tile halves (else the
+    t10/t11 merges are skipped -- exact, stale reads are ly-mask-rejected).
     """
     iy = pl.program_id(0)
     ix = pl.program_id(1)
     base_y = qby_ref[iy, ix] * KY
     base_x = qbx_ref[iy, ix] * KX
-    use_hi = hx_ref[iy, ix] != 0
+    flags = hx_ref[iy, ix]
+    use_hi = (flags & 1) != 0
+    use_hy = (flags & 2) != 0
 
     # merge the y-tile pairs into VMEM scratch once per step so the per-row
     # candidate loop does ONE dynamic-slice load per (candidate, x-group)
-    # instead of two loads + a select (dynamic slicing works on refs only)
+    # instead of two loads + a select (dynamic slicing works on refs only).
+    # Upper halves are merged only when some candidate row lives there
+    # (use_hy) -- skipped halves may hold stale data, but every candidate
+    # read from them is rejected by the ly == r mask, so results are exact.
     # scratch is always f32: bf16 tables halve the HBM->VMEM DMA (the
     # kernel's bound) and upcast here, keeping the per-row dynamic slices
     # and vreg gathers on f32 layouts (Mosaic cannot dynamically slice
     # single sublane rows of bf16 tiles)
     lo_ref[:, 0:KY, :] = t00_ref[...].astype(lo_ref.dtype)
-    lo_ref[:, KY:2 * KY, :] = t10_ref[...].astype(lo_ref.dtype)
+
+    @pl.when(use_hy)
+    def _():
+        lo_ref[:, KY:2 * KY, :] = t10_ref[...].astype(lo_ref.dtype)
 
     @pl.when(use_hi)
     def _():
         hi_ref[:, 0:KY, :] = t01_ref[...].astype(hi_ref.dtype)
+
+    @pl.when(jnp.logical_and(use_hi, use_hy))
+    def _():
         hi_ref[:, KY:2 * KY, :] = t11_ref[...].astype(hi_ref.dtype)
 
     def band(with_hi):
