@@ -18,6 +18,8 @@ def main(argv=None) -> int:
     p.add_argument("src", help="torch .pth checkpoint")
     p.add_argument("dst", help="output .npz path")
     args = p.parse_args(argv)
+    from mpiflow_tpu.utils.platform import apply_platform_override
+    apply_platform_override()
 
     from mpiflow_tpu.models.torch_convert import (
         load_torch_checkpoint, convert_state_dict, save_converted)

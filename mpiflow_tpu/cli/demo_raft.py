@@ -20,6 +20,8 @@ def main(argv=None) -> int:
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--small", action="store_true")
     args = p.parse_args(argv)
+    from mpiflow_tpu.utils.platform import apply_platform_override
+    apply_platform_override()
 
     import jax
     import jax.numpy as jnp

@@ -57,6 +57,8 @@ def load_model(path: str, small: bool, mixed: bool):
 def main(argv=None) -> int:
     logging.basicConfig(level=logging.INFO)
     args = build_parser().parse_args(argv)
+    from mpiflow_tpu.utils.platform import apply_platform_override
+    apply_platform_override()
     params, cfg = load_model(args.model, args.small, args.mixed_precision)
 
     from mpiflow_tpu.train import evaluate as ev

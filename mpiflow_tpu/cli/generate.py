@@ -110,6 +110,8 @@ def make_config(args):
 def main(argv=None) -> int:
     logging.basicConfig(level=logging.INFO)
     args = build_parser().parse_args(argv)
+    from mpiflow_tpu.utils.platform import apply_platform_override
+    apply_platform_override()
     cfg = make_config(args)
 
     # persistent compile cache: repeated CLI invocations skip XLA recompiles

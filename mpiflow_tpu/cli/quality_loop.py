@@ -149,11 +149,9 @@ def main(argv=None) -> int:
     logging.basicConfig(level=logging.INFO)
     args = build_parser().parse_args(argv)
 
+    from mpiflow_tpu.utils.platform import apply_platform_override
+    apply_platform_override()
     import jax
-    if os.environ.get("MPIFLOW_PLATFORM"):
-        # the axon sitecustomize overrides JAX_PLATFORMS; this wins over it
-        # (use MPIFLOW_PLATFORM=cpu for host-only runs)
-        jax.config.update("jax_platforms", os.environ["MPIFLOW_PLATFORM"])
     jax.config.update("jax_compilation_cache_dir",
                       f"/tmp/mpiflow_jax_cache_{jax.default_backend()}")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

@@ -27,6 +27,8 @@ def main(argv=None) -> int:
     p.add_argument("--ckpt_path", default=None,
                    help="optional AdaMPI checkpoint; geometric MPI otherwise")
     args = p.parse_args(argv)
+    from mpiflow_tpu.utils.platform import apply_platform_override
+    apply_platform_override()
 
     import jax
     import jax.numpy as jnp

@@ -79,6 +79,8 @@ def init_random_params(small: bool, seed: int = 0):
 def main(argv=None) -> int:
     logging.basicConfig(level=logging.INFO)
     args = build_parser().parse_args(argv)
+    from mpiflow_tpu.utils.platform import apply_platform_override
+    apply_platform_override()
 
     import jax
     jax.config.update("jax_compilation_cache_dir",

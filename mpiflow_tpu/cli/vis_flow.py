@@ -22,6 +22,8 @@ def main(argv=None) -> int:
     p.add_argument("--limit", type=int, default=20)
     p.add_argument("--lines", type=int, default=30)
     args = p.parse_args(argv)
+    from mpiflow_tpu.utils.platform import apply_platform_override
+    apply_platform_override()
 
     from PIL import Image
     from mpiflow_tpu.io.flo import read_flo
