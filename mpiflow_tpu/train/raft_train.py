@@ -155,6 +155,18 @@ class Trainer:
         self.model_cfg = model_cfg or (
             RAFTConfig.small_config() if getattr(cfg, "small", False)
             else RAFTConfig())
+        if (mesh is not None and mesh.devices.size > 1
+                and self.model_cfg.corr_impl == "pallas"):
+            # GSPMD partitioning of the opaque Pallas correlation kernel
+            # across a >1-device mesh is unverified on real hardware (this
+            # environment has one chip; the CPU mesh can't compile Pallas).
+            # The XLA row-window lookup shards like any gather -- use it
+            # for multi-chip training until the kernel's sharding is
+            # validated on a real slice (single-chip keeps the kernel).
+            import dataclasses as _dc
+            self.model_cfg = _dc.replace(self.model_cfg, corr_impl="xla")
+            log_fn("corr_impl=pallas -> xla for the multi-device mesh "
+                   "(see Trainer.__init__)")
         self.tx, self.sched = make_optimizer(cfg)
         self.step_fn = make_train_step(cfg, self.model_cfg, self.tx)
         self.mesh = mesh
