@@ -136,3 +136,26 @@ def test_render_mode_pallas_downgrades_on_small_shapes(golden):
     p = render_dynamic_sample(*args, mode="pallas", inpaint_iters=8)
     np.testing.assert_array_equal(np.asarray(p.flow), np.asarray(a.flow))
     np.testing.assert_array_equal(np.asarray(p.dst_u8), np.asarray(a.dst_u8))
+
+
+def test_row_candidate_tiers_dispatch():
+    """The render lax.cond's between rc=2 / rc=4 / XLA-fallback kernels.
+    A shear warp with ~3 block rows of within-row spread must fail the
+    rc=2 guard, pass rc=4, and still match the XLA path exactly."""
+    H2, W2 = 64, 512
+    yy, xx = np.meshgrid(np.arange(H2, dtype=np.float32),
+                         np.arange(W2, dtype=np.float32), indexing="ij")
+    # dy/dx = 0.045 -> ~5.8 px of y-variation across a 128-px chunk row
+    coords = jnp.asarray(np.stack([xx, yy + 0.045 * xx - 10.0], -1))
+    *_, ok2 = plan_warp(coords, H2, W2, row_cands=2)
+    *_, ok4 = plan_warp(coords, H2, W2, row_cands=4)
+    assert not bool(ok2) and bool(ok4)
+
+    rng = np.random.RandomState(3)
+    img = jnp.asarray(rng.rand(C, H2, W2).astype(np.float32))
+    ref = bilinear_sample_border(img, coords)
+    out, ok = bilinear_sample_pallas(img, coords, interpret=True)
+    # the wrapper runs rc=4 planning; guard must accept and match exactly
+    assert bool(ok)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0, atol=2e-7)
