@@ -39,13 +39,10 @@ N_WARMUP, N_ITERS = 1, 3
 
 
 def _resolve_mode():
-    """'pallas' needs backend support (ops/pallas_warp.py probes the Mosaic
-    service); otherwise use the XLA blocked-gather renderer."""
-    from mpiflow_tpu.ops.pallas_warp import (pallas_warp_supported,
-                                             supported_shape)
-    if supported_shape(H, W) and pallas_warp_supported():
-        return "pallas"
-    return "preblocked"
+    """Unified dispatch (mpiflow_tpu.utils.dispatch): Pallas warp kernel
+    when the backend compiles it, else the XLA blocked-gather renderer."""
+    from mpiflow_tpu.utils.dispatch import resolve_render_mode
+    return resolve_render_mode(H, W)
 
 
 def make_inputs(rng):
@@ -94,24 +91,9 @@ def _timed(fn, *args, n=N_ITERS):
 
 
 def _adampi_params():
-    import os
     import jax.numpy as jnp
-    here = os.path.dirname(os.path.abspath(__file__))
-    g = np.load(os.path.join(here, "tests/golden/data/adampi.npz"))
-    rng = np.random.RandomState(0)
-    params = {}
-    for k, shape_s in zip(g["sd_keys"], g["sd_shapes"]):
-        shape = tuple(int(x) for x in shape_s.split(",") if x)
-        if k.endswith("num_batches_tracked") or len(shape) == 0:
-            continue
-        if k.endswith("running_var"):
-            v = (0.5 + rng.rand(*shape)).astype(np.float32)
-        else:
-            v = (rng.randn(*shape) * 0.1).astype(np.float32)
-        if len(shape) == 4:
-            v = v.transpose(2, 3, 1, 0)
-        params[k] = jnp.asarray(v, jnp.bfloat16)
-    return params
+    from mpiflow_tpu.models.adampi import random_adampi_params
+    return random_adampi_params(jnp.bfloat16)
 
 
 def bench_render(mode):

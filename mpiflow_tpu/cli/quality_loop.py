@@ -51,9 +51,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--planes", type=int, default=12)
     p.add_argument("--repeat", type=int, default=4)
     p.add_argument("--seed", type=int, default=1234)
-    p.add_argument("--predictor", choices=["geometric", "adampi"],
-                   default="geometric")
+    p.add_argument("--predictor",
+                   choices=["geometric", "adampi", "adampi_random"],
+                   default="geometric",
+                   help="adampi_random = the full AdaMPI compute graph with "
+                        "randomized published-layout weights (the "
+                        "throughput-realistic path while the real "
+                        "checkpoint is unobtainable)")
     p.add_argument("--ckpt_path", default="adampiweight/adampi_64p.pth")
+    p.add_argument("--gen_only", action="store_true",
+                   help="stop after pair generation; print generation "
+                        "stats JSON (sustained-throughput runs)")
+    p.add_argument("--profile", action="store_true",
+                   help="per-stage generation wall-clock in the stats")
     # training
     p.add_argument("--num_steps", type=int, default=120)
     p.add_argument("--batch_size", type=int, default=2)
@@ -137,12 +147,16 @@ def generate_pairs(base: str, out: str, args, seed: int) -> dict:
         from mpiflow_tpu.models.adampi import load_adampi_predictor
         mpi_fn = load_adampi_predictor(args.ckpt_path, args.width,
                                        args.height)
+    elif args.predictor == "adampi_random":
+        from mpiflow_tpu.models.adampi import make_random_adampi_predictor
+        mpi_fn = make_random_adampi_predictor(args.width, args.height,
+                                              num_planes=args.planes)
     cfg = GenConfig(width=args.width, height=args.height, seed=seed,
                     repeat=args.repeat, base=base, out=out,
                     pose=PoseConfig(flavor="kitti_v2"),
                     render=RenderConfig(num_planes=args.planes))
     gen = DatasetGenerator(cfg, mpi_predict_fn=mpi_fn)
-    return gen.run(base, out)
+    return gen.run(base, out, profile=getattr(args, "profile", False))
 
 
 def main(argv=None) -> int:
@@ -173,6 +187,11 @@ def main(argv=None) -> int:
     train_out = os.path.join(work, "pairs_train")
     val_out = os.path.join(work, "pairs_val")
     stats_t = generate_pairs(base, train_out, args, args.seed)
+    if args.gen_only:
+        print(json.dumps({"gen_only": True, "predictor": args.predictor,
+                          "width": args.width, "height": args.height,
+                          "planes": args.planes, **stats_t}))
+        return 0
     stats_v = generate_pairs(val_base, val_out, args, args.seed + 1)
     logging.info("generated: train=%s val=%s", stats_t, stats_v)
 

@@ -30,7 +30,8 @@ def build_parser():
                    default="coco")
     p.add_argument("--planes", type=int, default=64)
     p.add_argument("--ckpt_path", default="adampiweight/adampi_64p.pth")
-    p.add_argument("--predictor", choices=["adampi", "geometric"],
+    p.add_argument("--predictor",
+                   choices=["adampi", "geometric", "adampi_random"],
                    default="adampi")
     # training side (reference train flags)
     p.add_argument("--name", default="raft-online")
@@ -50,6 +51,10 @@ def build_parser():
     p.add_argument("--gen_every", type=int, default=4,
                    help="generate one image's samples every N train steps")
     p.add_argument("--warmup_images", type=int, default=4)
+    p.add_argument("--run_dir", default=None,
+                   help="metrics sink (metrics.jsonl records loss/epe AND "
+                        "buffer occupancy + generator duty cycle per "
+                        "sum-freq window); defaults to runs/{name}")
     return p
 
 
@@ -86,6 +91,10 @@ def main(argv=None) -> int:
                                            args.height)
         except (ImportError, FileNotFoundError) as e:
             logging.warning("AdaMPI unavailable (%s); geometric MPI", e)
+    elif args.predictor == "adampi_random":
+        from mpiflow_tpu.models.adampi import make_random_adampi_predictor
+        mpi_fn = make_random_adampi_predictor(args.width, args.height,
+                                              num_planes=args.planes)
     gen = DatasetGenerator(gen_cfg, mpi_predict_fn=mpi_fn)
 
     # image cycle
@@ -150,29 +159,61 @@ def main(argv=None) -> int:
 
     data_iter = make_train_iterator(buffer, args.batch_size, seed=args.seed,
                                     num_threads=2)
-    running = {}
+    import json
     import time
-    t0 = time.time()
+    from mpiflow_tpu.train.logger import MetricsLogger
+    run_dir = args.run_dir or os.path.join("runs", args.name)
+    logger = MetricsLogger(run_dir, sum_freq=100, print_fn=logging.info)
+    # generator/trainer duty-cycle + buffer-health accounting (the
+    # reference's online recipe is a 32k-step headline, README.md:74-86;
+    # steady-state behavior must be observable, not assumed)
+    gen_s = 0.0
+    occupancies = []
+    starved = 0
+    win_t0 = time.time()
+    win_gen = 0.0
+    window_rates = []
     for step in range(args.num_steps):
         if step % args.gen_every == 0:
+            tg = time.time()
             generate_one()
+            gen_s += time.time() - tg
+            win_gen += time.time() - tg
+        occupancies.append(len(buffer))
+        if len(buffer) < args.batch_size:
+            starved += 1
         batch = trainer.shard_batch(next(data_iter))
         state.params, state.opt_state, metrics = trainer.step_fn(
             state.params, state.opt_state, *batch)
         state.step += 1
-        for k, v in metrics.items():
-            running[k] = running.get(k, 0.0) + float(v)
+        logger.push(state.step, metrics, args.batch_size)
         if state.step % 100 == 0:
-            msg = ", ".join(f"{k}={running[k] / 100:.4f}"
-                            for k in sorted(running))
-            logging.info("[%6d] %s buffer=%d (%.2f steps/s)", state.step,
-                         msg, len(buffer), 100 / (time.time() - t0))
-            running = {}
-            t0 = time.time()
+            dt = time.time() - win_t0
+            window_rates.append(100 * args.batch_size / dt)
+            logger.write_dict(state.step, {
+                "buffer": len(buffer), "gen_duty": win_gen / dt,
+                "img_per_sec": window_rates[-1]}, split="online")
+            win_t0 = time.time()
+            win_gen = 0.0
         if state.step % train_cfg.val_freq == 0:
             trainer.save(state, args.checkpoint_dir)
     trainer.save(state, args.checkpoint_dir, final=True)
+    logger.close()
     data_iter.close()
+    import numpy as _np
+    total_s = sum(100 * args.batch_size / r for r in window_rates) or 1.0
+    steady = window_rates[len(window_rates) // 2:] or window_rates
+    summary = {
+        "steps": int(state.step),
+        "img_per_sec_steady": round(float(_np.mean(steady)), 3)
+        if steady else None,
+        "gen_duty_cycle": round(gen_s / max(total_s, 1e-9), 4),
+        "buffer_min": int(min(occupancies)) if occupancies else 0,
+        "buffer_mean": round(float(_np.mean(occupancies)), 1)
+        if occupancies else 0,
+        "starved_steps": starved,
+    }
+    print(json.dumps(summary))
     return 0
 
 

@@ -343,6 +343,56 @@ def adampi_forward(params: Dict, image: jnp.ndarray, disp: jnp.ndarray,
     return mpi[:, 0:3], mpi[:, 3:4], disparities
 
 
+def random_adampi_params(dtype=jnp.bfloat16, manifest_path: str = None,
+                         seed: int = 0) -> Dict[str, jnp.ndarray]:
+    """Randomized parameters at the PUBLISHED adampi_64p layout, from the
+    committed shape manifest (tests/golden/data/adampi.npz; shapes are
+    resolution- and plane-count-independent). The real checkpoint is
+    stripped from the reference snapshot (.MISSING_LARGE_BLOBS) and
+    unfetchable here; throughput is determined by the compute graph, not
+    the weight values, so bench.py, __graft_entry__ and the
+    `--predictor adampi_random` CLI paths share this."""
+    import os
+    if manifest_path is None:
+        here = os.path.dirname(os.path.abspath(__file__))
+        manifest_path = os.path.join(here, "..", "..", "tests", "golden",
+                                     "data", "adampi.npz")
+    g = np.load(manifest_path)
+    rng = np.random.RandomState(seed)
+    params = {}
+    for k, shape_s in zip(g["sd_keys"], g["sd_shapes"]):
+        shape = tuple(int(x) for x in str(shape_s).split(",") if x)
+        if str(k).endswith("num_batches_tracked") or len(shape) == 0:
+            continue
+        if str(k).endswith("running_var"):
+            v = (0.5 + rng.rand(*shape)).astype(np.float32)
+        else:
+            v = (rng.randn(*shape) * 0.1).astype(np.float32)
+        if len(shape) == 4:
+            v = v.transpose(2, 3, 1, 0)     # OIHW -> HWIO
+        params[str(k)] = jnp.asarray(v, dtype)
+    return params
+
+
+def make_random_adampi_predictor(width: int, height: int,
+                                 num_planes: int = 64,
+                                 plane_chunk: int = 64,
+                                 compute_dtype=jnp.bfloat16,
+                                 seed: int = 0):
+    """An MPIPredictFn with random weights at the published layout: the
+    throughput-realistic generation path when real weights are absent."""
+    del width, height  # the functional forward is shape-polymorphic
+    params = random_adampi_params(compute_dtype, seed=seed)
+
+    def predict(image, disp):
+        rgb, sigma, _ = adampi_forward(
+            params, image.astype(compute_dtype), disp.astype(compute_dtype),
+            num_planes, plane_chunk=plane_chunk)
+        return rgb.astype(jnp.float32), sigma.astype(jnp.float32)
+
+    return predict
+
+
 def load_adampi_predictor(ckpt_path: str, width: int, height: int,
                           use_dpn: bool = False, plane_chunk: int = 64,
                           compute_dtype=jnp.bfloat16):

@@ -424,15 +424,22 @@ def raft_forward(params: Dict, image1: jnp.ndarray, image2: jnp.ndarray,
     else:
         pyramid = all_pairs_corr_pyramid(fmap1, fmap2, cfg.corr_levels)
         use_pallas = False
-        if cfg.corr_impl == "pallas":
+        # "pallas_interpret" forces the Pallas kernel through the
+        # interpreter (runs on any backend; used by the CPU-mesh sharding
+        # tests and dryrun_multichip to validate the kernel program under
+        # shard_map partitioning without TPU hardware)
+        interp = cfg.corr_impl == "pallas_interpret"
+        if cfg.corr_impl in ("pallas", "pallas_interpret"):
             from mpiflow_tpu.ops.pallas_corr import (corr_lookup_pallas,
                                                      pallas_corr_supported,
                                                      supported_shape)
-            use_pallas = (supported_shape(N * h * w)
-                          and pallas_corr_supported())
+            use_pallas = (supported_shape(N * h * w, cfg.corr_radius)
+                          and (interp
+                               or pallas_corr_supported(cfg.corr_radius)))
         if use_pallas:
             lookup = functools.partial(corr_lookup_pallas, pyramid,
-                                       radius=cfg.corr_radius)
+                                       radius=cfg.corr_radius,
+                                       interpret=interp)
         else:
             lookup = functools.partial(corr_lookup_windowed, pyramid,
                                        radius=cfg.corr_radius)

@@ -182,8 +182,12 @@ def _lookup_level_vjp_bwd(r, interpret, res, g):
 _lookup_level.defvjp(_lookup_level_vjp_fwd, _lookup_level_vjp_bwd)
 
 
-def supported_shape(P: int) -> bool:
-    return P % T_PIX == 0
+def supported_shape(P: int, radius: int = 4) -> bool:
+    """Static guards of the kernel's tiling: the pixel count must fill the
+    T_PIX-pixel programs exactly (a non-divisible tail would be silently
+    unwritten) and the bilinear window must fit the WN_PAD sublane pad
+    (Wn = 2*radius+2 <= WN_PAD, i.e. radius <= 7)."""
+    return P % T_PIX == 0 and 2 * radius + 2 <= WN_PAD
 
 
 def corr_lookup_pallas(pyramid, coords: jnp.ndarray, radius: int,
@@ -193,8 +197,21 @@ def corr_lookup_pallas(pyramid, coords: jnp.ndarray, radius: int,
     pyramid: list of [P, hl, wl, 1] f32 all-pairs maps (P = N*h*w);
     coords [N,h,w,2]. Returns [N,h,w,levels*(2r+1)^2] with the reference's
     x-major channel order (corr.py:37-43).
+
+    Differentiation contract: gradients flow to the correlation maps ONLY;
+    the coords cotangent is None (the XLA path also differentiates through
+    the bilinear fx/fy). RAFT stop-gradients coords1 every GRU iteration
+    (models/raft.py:447, matching the reference), so the two paths have
+    identical training gradients; any OTHER caller differentiating through
+    coords must use corr_lookup_windowed.
     """
     N, h, w, _ = coords.shape
+    if not supported_shape(N * h * w, radius):
+        raise ValueError(
+            f"corr_lookup_pallas: P={N * h * w} (T_PIX={T_PIX}) or "
+            f"radius={radius} (WN_PAD={WN_PAD}) outside the kernel tiling; "
+            f"guard with supported_shape() and fall back to "
+            f"corr_lookup_windowed")
     K = 2 * radius + 1
     out = []
     for i, corr in enumerate(pyramid):
@@ -207,15 +224,19 @@ def corr_lookup_pallas(pyramid, coords: jnp.ndarray, radius: int,
     return jnp.concatenate(out, axis=-1)
 
 
-_SUPPORTED = None
+_SUPPORTED = {}
 
 
-def pallas_corr_supported() -> bool:
-    """Probe once: compile+run a tiny lookup and compare with the XLA
-    reference path (some remote Mosaic services reject parts of Pallas)."""
-    global _SUPPORTED
-    if _SUPPORTED is None:
+def pallas_corr_supported(radius: int = 4) -> bool:
+    """Probe once per radius: compile+run a tiny lookup at the CONFIGURED
+    radius and compare with the XLA reference path (some remote Mosaic
+    services reject parts of Pallas; a probe at a different radius would
+    not exercise the same window tiling)."""
+    if radius not in _SUPPORTED:
         try:
+            if not supported_shape(T_PIX, radius):
+                _SUPPORTED[radius] = False
+                return False
             from mpiflow_tpu.models.raft import corr_lookup_windowed
             rng = np.random.RandomState(0)
             N, h, w = 1, 8, 16
@@ -223,11 +244,12 @@ def pallas_corr_supported() -> bool:
             corr = jnp.asarray(rng.randn(P, h, w, 1).astype(np.float32))
             coords = jnp.asarray(
                 (rng.rand(N, h, w, 2) * [w - 1, h - 1]).astype(np.float32))
-            got = corr_lookup_pallas([corr], coords, radius=4)
-            ref = corr_lookup_windowed([corr], coords, radius=4)
+            got = corr_lookup_pallas([corr], coords, radius=radius)
+            ref = corr_lookup_windowed([corr], coords, radius=radius)
             # bit-exact on hardware (one-hot selection + HIGHEST-precision
             # dots + identical bilinear expression)
-            _SUPPORTED = bool((np.asarray(got) == np.asarray(ref)).all())
+            _SUPPORTED[radius] = bool(
+                (np.asarray(got) == np.asarray(ref)).all())
         except Exception:  # pragma: no cover - environment dependent
-            _SUPPORTED = False
-    return _SUPPORTED
+            _SUPPORTED[radius] = False
+    return _SUPPORTED[radius]

@@ -104,14 +104,28 @@ class TrainState:
 
 
 def make_train_step(cfg: TrainConfig, model_cfg: RAFTConfig, tx,
-                    donate: bool = True):
+                    donate: bool = True, mesh=None):
     """Jitted data-parallel train step over NHWC batches.
 
     With cfg.freeze_bn=False (the reference's chairs stage,
     RAFT/train.py:146-148), batch norms run in train mode: the forward uses
     batch statistics and the momentum-updated running buffers are written
     back into params after the optimizer update (optimizer itself never
-    touches buffers; see _is_buffer)."""
+    touches buffers; see _is_buffer).
+
+    With a mesh, the step is expressed as PER-DEVICE programs via
+    jax.shard_map over the "data" axis: each device runs the full forward/
+    backward on its local batch shard (Pallas kernels included -- an opaque
+    pallas_call needs no GSPMD partitioning rule when the program is
+    already per-device, exactly like pipeline/generator.py's sharded
+    generation), gradients are pmean'd over ICI, and every device applies
+    the identical optimizer update to its replicated params. This is the
+    reference's nn.DataParallel (RAFT/train.py:138), which likewise runs
+    alt_cuda_corr per-replica with gradient reduction, re-expressed the
+    TPU way. Metrics are pmean'd per-device values; train-mode BN batch
+    stats are pmean'd across devices before the buffer write-back (an
+    upgrade over DataParallel, which keeps replica-0 stats only).
+    """
     bn_train = not cfg.freeze_bn
 
     def loss_fn(params, img1, img2, flow, valid):
@@ -129,6 +143,13 @@ def make_train_step(cfg: TrainConfig, model_cfg: RAFTConfig, tx,
     def step(params, opt_state, img1, img2, flow, valid):
         (loss, (metrics, bn_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params, img1, img2, flow, valid)
+        if mesh is not None and mesh.devices.size > 1:
+            from mpiflow_tpu.parallel.mesh import DATA_AXIS
+            grads = jax.lax.pmean(grads, DATA_AXIS)
+            loss = jax.lax.pmean(loss, DATA_AXIS)
+            metrics = jax.lax.pmean(metrics, DATA_AXIS)
+            if bn_stats:
+                bn_stats = jax.lax.pmean(bn_stats, DATA_AXIS)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         if bn_stats:
@@ -137,6 +158,14 @@ def make_train_step(cfg: TrainConfig, model_cfg: RAFTConfig, tx,
         metrics = dict(metrics, loss=loss)
         return params, opt_state, metrics
 
+    if mesh is not None and mesh.devices.size > 1:
+        from jax.sharding import PartitionSpec as P
+        # check_vma=False: pallas_call's out_shape carries no varying-mesh-
+        # axes annotation (same reason as the generator's shard_map)
+        step = jax.shard_map(
+            step, mesh=mesh,
+            in_specs=(P(), P(), P("data"), P("data"), P("data"), P("data")),
+            out_specs=(P(), P(), P()), check_vma=False)
     return jax.jit(step, donate_argnums=(0, 1) if donate else ())
 
 
@@ -155,20 +184,19 @@ class Trainer:
         self.model_cfg = model_cfg or (
             RAFTConfig.small_config() if getattr(cfg, "small", False)
             else RAFTConfig())
-        if (mesh is not None and mesh.devices.size > 1
-                and self.model_cfg.corr_impl == "pallas"):
-            # GSPMD partitioning of the opaque Pallas correlation kernel
-            # across a >1-device mesh is unverified on real hardware (this
-            # environment has one chip; the CPU mesh can't compile Pallas).
-            # The XLA row-window lookup shards like any gather -- use it
-            # for multi-chip training until the kernel's sharding is
-            # validated on a real slice (single-chip keeps the kernel).
+        # corr_impl resolves through the single dispatcher (probe-guarded);
+        # multi-device meshes KEEP the Pallas kernel -- the shard_map step
+        # runs it per-device, no GSPMD partitioning of the opaque kernel
+        # needed (make_train_step)
+        from mpiflow_tpu.utils.dispatch import resolve_corr_impl
+        resolved = resolve_corr_impl(self.model_cfg.corr_impl,
+                                     self.model_cfg.corr_radius)
+        if resolved != self.model_cfg.corr_impl:
             import dataclasses as _dc
-            self.model_cfg = _dc.replace(self.model_cfg, corr_impl="xla")
-            log_fn("corr_impl=pallas -> xla for the multi-device mesh "
-                   "(see Trainer.__init__)")
+            self.model_cfg = _dc.replace(self.model_cfg, corr_impl=resolved)
         self.tx, self.sched = make_optimizer(cfg)
-        self.step_fn = make_train_step(cfg, self.model_cfg, self.tx)
+        self.step_fn = make_train_step(cfg, self.model_cfg, self.tx,
+                                       mesh=mesh)
         self.mesh = mesh
         self.log_fn = log_fn
         self.sum_freq = 100

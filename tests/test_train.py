@@ -108,7 +108,7 @@ def test_dp_train_step_on_mesh():
     params = {k: jnp.asarray(v)
               for k, v in init_random_params(small=True, seed=0).items()}
     tx, _ = make_optimizer(cfg)
-    step = make_train_step(cfg, model_cfg, tx, donate=False)
+    step = make_train_step(cfg, model_cfg, tx, donate=False, mesh=mesh)
     opt_state = tx.init(params)
 
     rng = np.random.RandomState(0)
