@@ -123,7 +123,9 @@ class WarpbackStage2(_WarpbackBase):
         from mpiflow_tpu.models.edgeconnect import (edge_generator,
                                                     inpaint_generator)
         from mpiflow_tpu.ops.canny import canny_edges
-        gray = (0.299 * image[0] + 0.587 * image[1] + 0.114 * image[2])
+        # torchvision Grayscale coefficients (the reference applies
+        # transforms.Grayscale(), stage2_dataset.py:114)
+        gray = (0.2989 * image[0] + 0.587 * image[1] + 0.114 * image[2])
         edge = canny_edges(gray, sigma=2.0, mask=mask)
         hole = 1.0 - mask
 

@@ -149,3 +149,43 @@ def test_spectral_norm_materialization():
     np.testing.assert_allclose(out["weight"],
                                w_eff.numpy().transpose(2, 3, 1, 0),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_stage2_inpaint_chain_matches_reference(golden):
+    """Chained stage-2 golden: our warp output -> canny -> EdgeConnect trio
+    -> hole-merged (rgb, disp) pair, vs the reference inpaint() chain
+    (stage2_dataset.py:113-133) executed in torch on the SAME warp/edge
+    inputs (tests/golden/gen_stage2_golden.py; the warp and edge substitutions
+    are documented there -- this gates the grayscale/concat/offset/merge
+    chain and all three generator forwards chained together)."""
+    from mpiflow_tpu.models.torch_convert import convert_state_dict
+    from mpiflow_tpu.warpback.datasets import WarpbackStage2
+
+    g = golden("stage2_chain")
+
+    def regen(prefix, uv=None):
+        rng = np.random.RandomState(int(g[f"{prefix}_seed"]))
+        sd = {}
+        for k, shape_s in zip(g[f"{prefix}_keys"], g[f"{prefix}_shapes"]):
+            shape = tuple(int(x) for x in shape_s.split(",") if x)
+            if len(shape) == 0:
+                continue
+            if k.endswith("weight_u") or k.endswith("weight_v"):
+                sd[k] = uv[f"uv.{k}"]
+            else:
+                sd[k] = (rng.randn(*shape) * 0.05).astype(np.float32)
+        return {k: jnp.asarray(v) for k, v in convert_state_dict(sd).items()}
+
+    uv = {k: g[k] for k in g if k.startswith("uv.")}
+    ec = {"edge": regen("edge", uv), "inpaint": regen("inp"),
+          "disp": regen("disp")}
+
+    ds = WarpbackStage2.__new__(WarpbackStage2)
+    ds.ec = ec
+    rgb_m, disp_m = ds._inpaint(jnp.asarray(g["warp_rgb"]),
+                                jnp.asarray(g["warp_disp"]),
+                                jnp.asarray(g["warp_mask"]))
+    np.testing.assert_allclose(np.asarray(rgb_m), g["image_merged"][0],
+                               rtol=1e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(disp_m), g["disp_merged"][0, 0],
+                               rtol=1e-3, atol=2e-3)
