@@ -110,6 +110,107 @@ class WarpbackStage1(_WarpbackBase):
         }
 
 
+def inpaint_rgbd_batch(ec_params: Dict, image: jnp.ndarray,
+                       disp: jnp.ndarray, mask: jnp.ndarray):
+    """EdgeConnect hole filling (stage2_dataset.py:113-133), whole batch.
+
+    image [B,3,H,W], disp [B,H,W], mask [B,H,W] (1 = valid). Returns
+    (image_merged [B,3,H,W], disp_merged [B,H,W]). Pure jnp — jit/vmap safe.
+    """
+    import jax
+    from mpiflow_tpu.models.edgeconnect import (edge_generator,
+                                                inpaint_generator)
+    from mpiflow_tpu.ops.canny import canny_edges
+    # torchvision Grayscale coefficients (the reference applies
+    # transforms.Grayscale(), stage2_dataset.py:114)
+    gray = (0.2989 * image[:, 0] + 0.587 * image[:, 1]
+            + 0.114 * image[:, 2])                                # [B,H,W]
+    edge = jax.vmap(lambda g, m: canny_edges(g, sigma=2.0, mask=m))(
+        gray, mask)
+    hole = 1.0 - mask
+
+    edge_in = jnp.stack([gray, edge, hole], axis=-1)              # [B,H,W,3]
+    edge_fill = edge_generator(ec_params["edge"], edge_in)[..., 0]
+
+    img_nhwc = image.transpose(0, 2, 3, 1)
+    img_in = jnp.concatenate([img_nhwc + hole[..., None],
+                              edge_fill[..., None]], axis=-1)
+    img_fill = inpaint_generator(ec_params["inpaint"], img_in)
+    image_merged = (img_nhwc * mask[..., None]
+                    + img_fill * hole[..., None]).transpose(0, 3, 1, 2)
+
+    disp_in = jnp.stack([disp + hole, edge_fill], axis=-1)
+    disp_fill = inpaint_generator(ec_params["disp"], disp_in)[..., 0]
+    disp_merged = disp * mask + disp_fill * hole
+    return image_merged, disp_merged
+
+
+def make_stage2_synthesizer(ec_params: Dict, supersample: int = 3):
+    """The whole stage-2 batch synthesis as ONE jitted function.
+
+    The reference runs mesh-raster + three inpainter forwards per sample
+    inside the DataLoader collate (stage2_dataset.py:145-175, implicitly
+    serialized); here (render -> canny -> EdgeConnect trio -> merge) runs
+    batched on device. Returns synth(rgb [B,3,H,W], disp [B,H,W],
+    ext [B,4,4]) -> dict of src/tgt/warp arrays (NCHW, leading B).
+    """
+    import jax
+    K = jnp.asarray(K_NORM)
+
+    @jax.jit
+    def synth(rgb, disp, ext):
+        wr, wd, wm = jax.vmap(
+            lambda r, d, e: rgbd_render(r, d, K, e, supersample))(
+                rgb, disp, ext)
+        src_rgb, src_disp = inpaint_rgbd_batch(ec_params, wr, wd, wm)
+        return {"src_rgb": src_rgb, "src_disp": src_disp,
+                "tgt_rgb": rgb, "tgt_disp": disp,
+                "warp_rgb": wr, "warp_disp": wd, "warp_mask": wm}
+
+    return synth
+
+
+def random_edgeconnect_params(seed: int = 0, manifest_path: str = None):
+    """Random parameters at the PUBLISHED EdgeConnect layouts, from the
+    committed shape manifests (tests/golden/data/edgeconnect.npz). The three
+    published .pth files are stripped from the snapshot
+    (.MISSING_LARGE_BLOBS) and unfetchable here; synthesis throughput is
+    set by the compute graph, not the weight values. The disparity
+    inpainter shares the InpaintGenerator trunk with 2->1 channels
+    (warpback/networks.py:11-26)."""
+    from mpiflow_tpu.models.torch_convert import convert_state_dict
+    if manifest_path is None:
+        here = os.path.dirname(os.path.abspath(__file__))
+        manifest_path = os.path.join(here, "..", "..", "tests", "golden",
+                                     "data", "edgeconnect.npz")
+    g = np.load(manifest_path)
+
+    def sd_from(keys, shapes, seed, reshape=()):
+        reshape = dict(reshape)
+        rng = np.random.RandomState(seed)
+        sd = {}
+        for k, s in zip(keys, shapes):
+            k = str(k)
+            shape = tuple(int(x) for x in str(s).split(",") if x)
+            sd[k] = (rng.randn(*reshape.get(k, shape)) * 0.05
+                     ).astype(np.float32)
+        return sd
+
+    inp_k, inp_s = g["inp_keys"], g["inp_shapes"]
+    out = {
+        "inpaint": convert_state_dict(sd_from(inp_k, inp_s, seed)),
+        "edge": convert_state_dict(
+            sd_from(g["edge_keys"], g["edge_shapes"], seed + 1)),
+        # disparity variant: 2-channel input, 1-channel output
+        "disp": convert_state_dict(sd_from(inp_k, inp_s, seed + 2, reshape={
+            "encoder.1.weight": (64, 2, 7, 7),
+            "decoder.7.weight": (1, 64, 7, 7),
+            "decoder.7.bias": (1,)})),
+    }
+    return {name: {k: jnp.asarray(v) for k, v in tree.items()}
+            for name, tree in out.items()}
+
+
 class WarpbackStage2(_WarpbackBase):
     """(inpainted novel view, original view) supervision pairs for MPI
     training (stage2_dataset.py:145-175)."""
@@ -119,32 +220,10 @@ class WarpbackStage2(_WarpbackBase):
         self.ec = ec_params  # {edge, inpaint, disp} trees or None
 
     def _inpaint(self, image, disp, mask):
-        """EdgeConnect hole filling (stage2_dataset.py:113-133). NCHW in."""
-        from mpiflow_tpu.models.edgeconnect import (edge_generator,
-                                                    inpaint_generator)
-        from mpiflow_tpu.ops.canny import canny_edges
-        # torchvision Grayscale coefficients (the reference applies
-        # transforms.Grayscale(), stage2_dataset.py:114)
-        gray = (0.2989 * image[0] + 0.587 * image[1] + 0.114 * image[2])
-        edge = canny_edges(gray, sigma=2.0, mask=mask)
-        hole = 1.0 - mask
-
-        nhwc = lambda x: x.transpose(1, 2, 0)[None]
-        edge_in = jnp.concatenate([nhwc(gray[None]), nhwc(edge[None]),
-                                   nhwc(hole[None])], axis=-1)
-        edge_fill = edge_generator(self.ec["edge"], edge_in)[0, ..., 0]
-
-        img_in = jnp.concatenate([nhwc(image + hole[None]),
-                                  nhwc(edge_fill[None])], axis=-1)
-        img_fill = inpaint_generator(self.ec["inpaint"], img_in)[0]
-        img_fill = img_fill.transpose(2, 0, 1)
-        image_merged = image * mask[None] + img_fill * hole[None]
-
-        disp_in = jnp.concatenate([nhwc((disp + hole)[None]),
-                                   nhwc(edge_fill[None])], axis=-1)
-        disp_fill = inpaint_generator(self.ec["disp"], disp_in)[0, ..., 0]
-        disp_merged = disp * mask + disp_fill * hole
-        return image_merged, disp_merged
+        """EdgeConnect hole filling for one sample. NCHW in."""
+        img, dsp = inpaint_rgbd_batch(self.ec, image[None], disp[None],
+                                      mask[None])
+        return img[0], dsp[0]
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         rgb, disp = self.load_rgbd(idx)
