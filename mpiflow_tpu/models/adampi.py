@@ -91,16 +91,7 @@ def feat_mask_network(params: Dict, rgb: jnp.ndarray, disp: jnp.ndarray,
     This is the pipeline's biggest activation (the reference tiles the full-
     res input x S before conv, SURVEY §3.2); planes are INDEPENDENT until the
     final softmax, so `plane_chunk` > 0 processes them in chunks via lax.map
-    (memory scales with chunk instead of S; 64-plane KITTI-res fits 16GB).
-
-    conv1 restructuring (exact): the per-plane input differs from the shared
-    rgbd only in channel 5, a spatially-CONSTANT disparity d_s, so
-      conv1([rgbd, d_s]) = conv1_rgbd(rgbd) + d_s * conv1_d(ones)
-    with both right-hand convs computed ONCE for all S planes (the ones-conv
-    captures the zero-padding border taps exactly). The per-plane work
-    collapses from a 64x-replicated full-res conv (~21 ms at product shape,
-    1% MXU) to a fused broadcast FMA, and the [S,H,W,5] tiled input the
-    reference materializes (model/CPN/unet.py:32-40) is never built."""
+    (memory scales with chunk instead of S; 64-plane KITTI-res fits 16GB)."""
     p = P(params, prefix)
     S = disparities.shape[0]
     _, H, W, _ = rgb.shape
@@ -111,21 +102,8 @@ def feat_mask_network(params: Dict, rgb: jnp.ndarray, disp: jnp.ndarray,
         return conv_bn_act(x, p, f"conv{i}.layer.0", f"conv{i}.layer.1",
                            relu, stride=stride, padding=1)
 
-    w1 = p["conv1.layer.0.weight"]                                # [3,3,5,16]
-    c1_shared = conv2d(rgbd, w1[:, :, :4, :], p.get("conv1.layer.0.bias"),
-                       padding=1)                                 # [1,H,W,16]
-    c1_dmap = conv2d(jnp.ones((1, H, W, 1), rgb.dtype), w1[:, :, 4:, :],
-                     padding=1)                                   # [1,H,W,16]
-
-    def make_c1(dvals):                                           # [k] -> c1
-        y = c1_shared + dvals[:, None, None, None] * c1_dmap
-        y = batch_norm(y, p["conv1.layer.1.running_mean"],
-                       p["conv1.layer.1.running_var"],
-                       p.get("conv1.layer.1.weight"),
-                       p.get("conv1.layer.1.bias"))
-        return relu(y)
-
-    def unet(c1):                                                 # [b,H,W,16]
+    def unet(x):                                                  # [b,H,W,5]
+        c1 = cbr(x, 1)
         c2 = cbr(c1, 2, stride=2)
         c3 = cbr(c2, 3, stride=2)
         c4 = cbr(c3, 4, stride=2)
@@ -138,32 +116,28 @@ def feat_mask_network(params: Dict, rgb: jnp.ndarray, disp: jnp.ndarray,
         c8 = cbr(jnp.concatenate([u7, c1], -1), 8)
         return cbr(c8, 9)                                         # [b,H,W,1]
 
+    def plane_input(dvals):                                       # [k]
+        x = jnp.broadcast_to(rgbd, (dvals.shape[0], H, W, 4))
+        dchan = jnp.broadcast_to(dvals[:, None, None, None],
+                                 (dvals.shape[0], H, W, 1))
+        return jnp.concatenate([x, dchan], axis=-1)
+
     if plane_chunk and plane_chunk < S:
         assert S % plane_chunk == 0, (S, plane_chunk)
         chunks = disparities.reshape(S // plane_chunk, plane_chunk)
-        c9 = jax.lax.map(lambda d: unet(make_c1(d)), chunks)
+        c9 = jax.lax.map(lambda d: unet(plane_input(d)), chunks)
         c9 = c9.reshape(S, H, W, 1)
     else:
-        c9 = unet(make_c1(disparities))
+        c9 = unet(plane_input(disparities))
     return jax.nn.softmax(c9[..., 0], axis=0)                     # over planes
 
 
 # ----------------------------------------------------------- CPN decoder
 def _gated_conv(x, p: P):
-    """GatedConv (decoder.py:23-37): reflection pad + conv * sigmoid(mask).
-
-    The feature and mask convs read the SAME padded input, so they run as a
-    single conv with the two weight tensors concatenated along the output
-    channel axis (exact: conv output channels are independent). This doubles
-    the MXU N-dimension occupancy of every small-C_out decoder conv and
-    halves the dispatch count (see docs/ARCHITECTURE.md "AdaMPI forward"
-    for the measured effect)."""
+    """GatedConv (decoder.py:23-37): reflection pad + conv * sigmoid(mask)."""
     x = reflection_pad(x, 1)
-    w = jnp.concatenate([p["conv2d.weight"], p["mask_conv2d.weight"]],
-                        axis=-1)
-    b = jnp.concatenate([p["conv2d.bias"], p["mask_conv2d.bias"]], axis=-1)
-    fm = conv2d(x, w, b)
-    f, m = jnp.split(fm, 2, axis=-1)
+    f = conv2d(x, p["conv2d.weight"], p["conv2d.bias"])
+    m = conv2d(x, p["mask_conv2d.weight"], p["mask_conv2d.bias"])
     return f * jax.nn.sigmoid(m)
 
 
