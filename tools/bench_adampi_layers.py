@@ -19,6 +19,7 @@ import numpy as np
 
 H, W, S = 384, 1280, 64
 PEAK_TFLOPS = 197.0  # v5e bf16
+HBM_GBPS = 819.0     # v5e HBM
 
 
 def _timed(fn, *args, n=3):
@@ -65,11 +66,15 @@ def main():
 
     rows = []
 
-    def report(name, dt_s, tflop):
+    def report(name, dt_s, tflop, bound_s=None):
         ach = tflop / dt_s
         rows.append((name, dt_s * 1e3, tflop, ach, 100 * ach / PEAK_TFLOPS))
+        extra = ""
+        if bound_s is not None:
+            extra = (f"  | roofline {bound_s * 1e3:6.2f} ms "
+                     f"({dt_s / bound_s:5.1f}x off)")
         print(f"{name:34s} {dt_s * 1e3:9.2f} ms  {tflop:7.3f} TFLOP "
-              f"{ach:7.1f} TF/s {100 * ach / PEAK_TFLOPS:6.1f}% peak",
+              f"{ach:7.1f} TF/s {100 * ach / PEAK_TFLOPS:6.1f}% peak{extra}",
               flush=True)
 
     # ---- stage level ----------------------------------------------------
@@ -96,15 +101,38 @@ def main():
             return
 
     # ---- individual convs at true shapes --------------------------------
+    # Timed as ONE dispatch scanning NREP iterations: the chained-
+    # accumulator pattern pays ~a tunnel round-trip per measurement
+    # (tools/bench_overhead.py: +7-9 ms at n=3), which swamps 10-20 ms
+    # programs. The weight (small) is perturbed per iteration to defeat
+    # CSE; the sum fuses into the conv epilogue, so the output write-back
+    # is not measured (negligible next to the window reads at these C).
     from mpiflow_tpu.models.nn import conv2d
+
+    NREP = 10
 
     def conv_at(name, cin, cout, hh, ww, batch, stride=1):
         w = jnp.asarray(rng.randn(3, 3, cin, cout) * 0.05, dt)
         x = jnp.asarray(rng.rand(batch, hh, ww, cin), dt)
-        f = jax.jit(lambda xx: jnp.sum(
-            conv2d(xx, w, stride=stride, padding=1).astype(jnp.float32)))
-        tf = 2 * 9 * cin * cout * (hh // stride) * (ww // stride) * batch / 1e12
-        report(name, _timed(f, x), tf)
+
+        @jax.jit
+        def rep(xx):
+            def body(acc, _):
+                y = conv2d(xx, w + acc * 1e-20, stride=stride, padding=1)
+                return acc + jnp.sum(y.astype(jnp.float32)), None
+            acc, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=NREP)
+            return acc
+
+        float(rep(x))
+        t0 = time.perf_counter()
+        float(rep(x))
+        dt_s = (time.perf_counter() - t0) / NREP
+        oh, ow = hh // stride, ww // stride
+        tf = 2 * 9 * cin * cout * oh * ow * batch / 1e12
+        # intensity roofline: max(MXU time, HBM time for in+out streams)
+        hbm_bytes = 2 * batch * (hh * ww * cin + oh * ow * cout)
+        bound_s = max(tf / PEAK_TFLOPS, hbm_bytes / HBM_GBPS / 1e9)
+        report(name, dt_s, tf, bound_s)
 
     if part == "dec":
         pass
