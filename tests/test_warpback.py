@@ -189,3 +189,32 @@ def test_stage2_inpaint_chain_matches_reference(golden):
                                rtol=1e-3, atol=2e-3)
     np.testing.assert_allclose(np.asarray(disp_m), g["disp_merged"][0, 0],
                                rtol=1e-3, atol=2e-3)
+
+
+def test_batched_synthesizer_matches_per_item():
+    """make_stage2_synthesizer (one jitted batch program) must equal the
+    per-item stage-2 path exactly: conv/instance-norm/canny are all
+    per-sample computations, so batching is a pure layout change."""
+    from mpiflow_tpu.warpback.datasets import (
+        inpaint_rgbd_batch, make_stage2_synthesizer, random_edgeconnect_params,
+        sample_warpback_pose, DEFAULT_TRANS_RANGE)
+
+    rng = np.random.RandomState(3)
+    B, h, w = 2, 64, 96
+    rgb = jnp.asarray(rng.rand(B, 3, h, w).astype(np.float32))
+    disp = jnp.asarray((0.2 + 0.6 * rng.rand(B, h, w)).astype(np.float32))
+    ext = jnp.asarray(np.stack([
+        sample_warpback_pose(rng, DEFAULT_TRANS_RANGE)[0] for _ in range(B)]))
+
+    ec = random_edgeconnect_params(seed=5)
+    out = make_stage2_synthesizer(ec)(rgb, disp, ext)
+
+    for i in range(B):
+        wr, wd, wm = rgbd_render(rgb[i], disp[i], jnp.asarray(K_NORM), ext[i])
+        np.testing.assert_allclose(np.asarray(out["warp_rgb"][i]),
+                                   np.asarray(wr), atol=1e-5)
+        sr, sd = inpaint_rgbd_batch(ec, wr[None], wd[None], wm[None])
+        np.testing.assert_allclose(np.asarray(out["src_rgb"][i]),
+                                   np.asarray(sr[0]), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(out["src_disp"][i]),
+                                   np.asarray(sd[0]), atol=1e-4)
