@@ -84,52 +84,18 @@ def build_parser() -> argparse.ArgumentParser:
 
 def synthesize_base(root: str, n_images: int, height: int, width: int,
                     seed: int) -> None:
-    """Procedural {images,disps,masks} scenes: a textured background with a
-    road-like disparity ramp plus 1-3 textured foreground objects at nearer
-    constant disparity (instance ids 1..k in the mask, the layout
-    gen_3dphoto_dynamic_v2.py:74-78 consumes)."""
+    """Procedural {images,disps,masks} scenes (utils/synth.py) written in
+    the layout gen_3dphoto_dynamic_v2.py:74-78 consumes."""
     import numpy as np
     from PIL import Image
+
+    from mpiflow_tpu.utils.synth import procedural_scene
 
     rng = np.random.RandomState(seed)
     for sub in ("images", "disps", "masks"):
         os.makedirs(os.path.join(root, sub), exist_ok=True)
-
-    def smooth_texture(h, w, cells, channels=3):
-        low = rng.rand(cells, max(1, int(cells * w / h)), channels).squeeze()
-        img = np.asarray(Image.fromarray(
-            (low * 255).astype(np.uint8)).resize((w, h), Image.BILINEAR))
-        if img.ndim == 2:
-            img = img[..., None]
-        return img.astype(np.float32) / 255.0
-
-    h, w = height, width
     for i in range(n_images):
-        img = smooth_texture(h, w, cells=6) * 0.7 + smooth_texture(
-            h, w, cells=24) * 0.3
-        img += rng.randn(h, w, 3) * 0.02  # fine grain so RAFT can match
-        # road-like ramp: near (high disparity) at the bottom
-        ramp = np.linspace(0.2, 0.8, h)[:, None] * np.ones((h, w))
-        ramp += smooth_texture(h, w, cells=4, channels=1)[..., 0] * 0.1
-        disp = ramp
-        mask = np.zeros((h, w), np.uint8)
-        for k in range(1, rng.randint(2, 4)):
-            ow = rng.randint(w // 8, w // 3)
-            oh = rng.randint(h // 6, h // 2)
-            oy = rng.randint(0, h - oh)
-            ox = rng.randint(0, w - ow)
-            yy, xx = np.mgrid[0:oh, 0:ow]
-            if rng.rand() < 0.5:
-                sel = np.ones((oh, ow), bool)
-            else:  # ellipse
-                sel = (((yy - oh / 2) / (oh / 2)) ** 2
-                       + ((xx - ow / 2) / (ow / 2)) ** 2) <= 1.0
-            tex = smooth_texture(oh, ow, cells=5)
-            region = img[oy:oy + oh, ox:ox + ow]
-            region[sel] = tex[sel] * 0.8 + rng.rand(3) * 0.2
-            obj_disp = rng.uniform(0.55, 0.95)
-            disp[oy:oy + oh, ox:ox + ow][sel] = obj_disp
-            mask[oy:oy + oh, ox:ox + ow][sel] = k
+        img, disp, mask = procedural_scene(rng, height, width)
         img = np.clip(img * 255, 0, 255).astype(np.uint8)
         dsp = np.clip(disp * 255, 0, 255).astype(np.uint8)
         Image.fromarray(img).save(f"{root}/images/{i:04d}.png")
@@ -166,8 +132,8 @@ def main(argv=None) -> int:
     from mpiflow_tpu.utils.platform import apply_platform_override
     apply_platform_override()
     import jax
-    jax.config.update("jax_compilation_cache_dir",
-                      f"/tmp/mpiflow_jax_cache_{jax.default_backend()}")
+    from mpiflow_tpu.utils.platform import enable_compile_cache
+    enable_compile_cache()
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     work = args.work_dir

@@ -66,8 +66,8 @@ def main(argv=None) -> int:
 
     import numpy as np
     import jax
-    jax.config.update("jax_compilation_cache_dir",
-                      f"/tmp/mpiflow_jax_cache_{jax.default_backend()}")
+    from mpiflow_tpu.utils.platform import enable_compile_cache
+    enable_compile_cache()
 
     from mpiflow_tpu.config import (GenConfig, PoseConfig, RenderConfig,
                                     RAFTConfig, TrainConfig)

@@ -83,8 +83,8 @@ def main(argv=None) -> int:
     apply_platform_override()
 
     import jax
-    jax.config.update("jax_compilation_cache_dir",
-                      f"/tmp/mpiflow_jax_cache_{jax.default_backend()}")
+    from mpiflow_tpu.utils.platform import enable_compile_cache
+    enable_compile_cache()
 
     from mpiflow_tpu.config import RAFTConfig, TrainConfig
     from mpiflow_tpu.data import fetch_dataset, make_train_iterator

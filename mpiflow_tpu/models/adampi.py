@@ -413,8 +413,15 @@ def load_adampi_predictor(ckpt_path: str, width: int, height: int,
     from mpiflow_tpu.models.torch_convert import load_torch_checkpoint
     ckpt = load_torch_checkpoint(ckpt_path)
     num_planes = int(ckpt.get("num_planes", 64))
-    from mpiflow_tpu.models.torch_convert import convert_state_dict
-    params = convert_state_dict(ckpt["weight"])
+    if ckpt_path.endswith(".npz"):
+        # .npz archives (cli/convert_ckpt, train/adampi_train checkpoints)
+        # are ALREADY in the converted HWIO layout -- converting again
+        # would transpose conv weights a second time
+        params = {k: np.asarray(v) for k, v in ckpt["weight"].items()
+                  if not k.endswith("num_batches_tracked")}
+    else:
+        from mpiflow_tpu.models.torch_convert import convert_state_dict
+        params = convert_state_dict(ckpt["weight"])
     params = jax.tree_util.tree_map(
         lambda v: jnp.asarray(v, compute_dtype), params)
 

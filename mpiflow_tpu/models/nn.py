@@ -123,7 +123,12 @@ def leaky_relu(x, slope: float = 0.1):
 
 
 def elu(x):
-    return jnp.where(x >= 0, x, jnp.expm1(x))
+    # double-where guard: without it, expm1(x) overflows to inf in the
+    # UNTAKEN branch for large positive x and the where-VJP computes
+    # 0 * inf = NaN -- forward-only use never sees this, but the AdaMPI
+    # trainer differentiates through every decoder ELU
+    safe = jnp.where(x >= 0, 0.0, x)
+    return jnp.where(x >= 0, x, jnp.expm1(safe))
 
 
 def max_pool(x: jnp.ndarray, k: int = 3, stride: int = 2,

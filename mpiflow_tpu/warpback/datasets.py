@@ -145,7 +145,9 @@ def inpaint_rgbd_batch(ec_params: Dict, image: jnp.ndarray,
     return image_merged, disp_merged
 
 
-def make_stage2_synthesizer(ec_params: Dict, supersample: int = 3):
+def make_stage2_synthesizer(ec_params: Optional[Dict],
+                            supersample: int = 3,
+                            diffusion_iters: int = 64):
     """The whole stage-2 batch synthesis as ONE jitted function.
 
     The reference runs mesh-raster + three inpainter forwards per sample
@@ -153,6 +155,12 @@ def make_stage2_synthesizer(ec_params: Dict, supersample: int = 3):
     serialized); here (render -> canny -> EdgeConnect trio -> merge) runs
     batched on device. Returns synth(rgb [B,3,H,W], disp [B,H,W],
     ext [B,4,4]) -> dict of src/tgt/warp arrays (NCHW, leading B).
+
+    ec_params=None fills holes by harmonic diffusion instead of the
+    EdgeConnect trio (the published inpainter weights are stripped from
+    the snapshot, .MISSING_LARGE_BLOBS) — same fused-batch structure, and
+    the fill is content-derived rather than random-weight noise, which is
+    what the AdaMPI training loop (train/adampi_train.py) wants.
     """
     import jax
     K = jnp.asarray(K_NORM)
@@ -162,7 +170,18 @@ def make_stage2_synthesizer(ec_params: Dict, supersample: int = 3):
         wr, wd, wm = jax.vmap(
             lambda r, d, e: rgbd_render(r, d, K, e, supersample))(
                 rgb, disp, ext)
-        src_rgb, src_disp = inpaint_rgbd_batch(ec_params, wr, wd, wm)
+        if ec_params is not None:
+            src_rgb, src_disp = inpaint_rgbd_batch(ec_params, wr, wd, wm)
+        else:
+            from mpiflow_tpu.ops.inpaint import diffusion_inpaint
+            hole = wm < 0.5                                    # [B,H,W]
+            src_rgb = jax.vmap(
+                lambda r, h: diffusion_inpaint(
+                    r.transpose(1, 2, 0), h, diffusion_iters
+                ).transpose(2, 0, 1))(wr, hole)
+            src_disp = jax.vmap(
+                lambda d, h: diffusion_inpaint(
+                    d[..., None], h, diffusion_iters)[..., 0])(wd, hole)
         return {"src_rgb": src_rgb, "src_disp": src_disp,
                 "tgt_rgb": rgb, "tgt_disp": disp,
                 "warp_rgb": wr, "warp_disp": wd, "warp_mask": wm}

@@ -28,8 +28,22 @@ import pytest
 # writes CPU AOT blobs for a DIFFERENT host CPU into the cache, which load
 # with mismatched machine features and corrupt numerics (observed as golden
 # test failures). Never share a cache dir with the axon backend.
+import hashlib
 import jax
-jax.config.update("jax_compilation_cache_dir", "/tmp/mpiflow_jax_cache_cputest")
+
+# ... and keyed per-HOST: XLA:CPU caches AOT code with the build machine's
+# feature set, and a cache dir carried across different hosts (e.g. between
+# driver rounds) loads blobs whose machine features mismatch -- XLA warns
+# "could lead to execution errors such as SIGILL" and numerics can corrupt
+# silently. Fingerprint the CPU flags into the dir name.
+try:
+    with open("/proc/cpuinfo") as f:
+        _flags = next((ln for ln in f if ln.startswith("flags")), "")
+except OSError:
+    _flags = ""
+_host = hashlib.sha1(_flags.encode()).hexdigest()[:8]
+jax.config.update("jax_compilation_cache_dir",
+                  f"/tmp/mpiflow_jax_cache_cputest_{_host}")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 

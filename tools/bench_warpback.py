@@ -30,8 +30,8 @@ def main():
     args = ap.parse_args()
 
     import jax
-    jax.config.update("jax_compilation_cache_dir",
-                      f"/tmp/mpiflow_jax_cache_{jax.default_backend()}")
+    from mpiflow_tpu.utils.platform import enable_compile_cache
+    enable_compile_cache()
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     import jax.numpy as jnp
     from mpiflow_tpu.warpback.datasets import (

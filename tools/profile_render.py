@@ -12,8 +12,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir",
-                  f"/tmp/mpiflow_jax_cache_{jax.default_backend()}")
+from mpiflow_tpu.utils.platform import enable_compile_cache
+enable_compile_cache()
 
 import sys, os
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
