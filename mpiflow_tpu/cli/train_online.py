@@ -51,6 +51,9 @@ def build_parser():
     p.add_argument("--gen_every", type=int, default=4,
                    help="generate one image's samples every N train steps")
     p.add_argument("--warmup_images", type=int, default=4)
+    p.add_argument("--val_freq", type=int, default=5000,
+                   help="checkpoint every N steps (long online runs should "
+                        "survive a host OOM-kill)")
     p.add_argument("--run_dir", default=None,
                    help="metrics sink (metrics.jsonl records loss/epe AND "
                         "buffer occupancy + generator duty cycle per "
@@ -141,7 +144,8 @@ def main(argv=None) -> int:
         name=args.name, stage="online", restore_ckpt=args.restore_ckpt,
         lr=args.lr, num_steps=args.num_steps, batch_size=args.batch_size,
         image_size=tuple(args.image_size), iters=args.iters,
-        wdecay=args.wdecay, gamma=args.gamma, seed=args.seed)
+        wdecay=args.wdecay, gamma=args.gamma, seed=args.seed,
+        val_freq=args.val_freq)
     model_cfg = RAFTConfig.small_config() if args.small else RAFTConfig()
     trainer = Trainer(train_cfg, model_cfg)
 
