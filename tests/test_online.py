@@ -27,6 +27,7 @@ def test_online_loop_ci_scale(tmp_path, capsys):
         "--small", "--num_steps", "100", "--batch_size", "2",
         "--image_size", "64", "96", "--iters", "2",
         "--buffer", "64", "--gen_every", "10", "--warmup_images", "2",
+        "--val_freq", "50",
         "--checkpoint_dir", str(tmp_path / "ckpt"),
         "--run_dir", str(tmp_path / "run"),
         "--name", "online-ci",
@@ -50,5 +51,9 @@ def test_online_loop_ci_scale(tmp_path, capsys):
     online_recs = [l for l in lines if l["split"] == "online"]
     assert all(r["buffer"] >= 2 for r in online_recs)
 
-    # final checkpoint written
+    # final checkpoint written, plus the periodic val_freq snapshots a
+    # long run needs to survive a host OOM-kill (docs/ONLINE.md)
     assert os.path.exists(os.path.join(tmp_path, "ckpt", "online-ci.npz"))
+    for step in (50, 100):
+        assert os.path.exists(
+            os.path.join(tmp_path, "ckpt", f"{step}_online-ci.npz"))
