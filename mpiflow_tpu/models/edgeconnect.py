@@ -69,6 +69,66 @@ def edge_generator(params: Dict, x: jnp.ndarray,
     return jax.nn.sigmoid(_generator(params, x, prefix))
 
 
+def spectral_normalize(w: jnp.ndarray, u: jnp.ndarray, eps: float = 1e-12):
+    """One-power-iteration spectral normalization.
+
+    torch.nn.utils.spectral_norm semantics: `u` persists across steps, `v`
+    is recomputed, gradients flow through w/sigma with u and v stopped.
+    w is HWIO (flattened to (K, O) rows -- row permutation doesn't change
+    the spectral norm); u has shape (O,). Returns (w/sigma, new_u).
+    """
+    out_ch = w.shape[-1]
+    w_mat = w.reshape(-1, out_ch).T                       # (O, K)
+    v = w_mat.T @ u
+    v = jax.lax.stop_gradient(v / (jnp.linalg.norm(v) + eps))
+    u_new = w_mat @ v
+    u_new = jax.lax.stop_gradient(u_new / (jnp.linalg.norm(u_new) + eps))
+    sigma = u_new @ (w_mat @ v)
+    return w / sigma, u_new
+
+
+_DISC_CH = (64, 128, 256, 512, 1)
+_DISC_STRIDES = (2, 2, 2, 1, 1)
+
+
+def random_discriminator_params(in_channels: int, seed: int = 0) -> Dict:
+    """70x70 PatchGAN discriminator parameters (the EdgeConnect paper's
+    discriminator; the reference snapshot ships only generators,
+    warpback/networks.py, because it consumes pretrained weights).
+    Spectral-normalized convs carry a persistent power-iteration vector
+    `conv{i}.u` (non-trainable, updated like a BN buffer)."""
+    import numpy as np
+    rng = np.random.RandomState(seed)
+    params = {}
+    cin = in_channels
+    for i, cout in enumerate(_DISC_CH):
+        fan = 4 * 4 * cin
+        params[f"conv{i}.weight"] = jnp.asarray(
+            rng.randn(4, 4, cin, cout).astype("float32")
+            * (2.0 / fan) ** 0.5)
+        params[f"conv{i}.u"] = jnp.asarray(
+            rng.randn(cout).astype("float32"))
+        cin = cout
+    return params
+
+
+def discriminator(params: Dict, x: jnp.ndarray):
+    """PatchGAN forward. x NHWC. Returns (logits [N,h,w,1],
+    features [conv1..conv5 activations], new_u dict to write back)."""
+    feats = []
+    new_u = {}
+    y = x
+    for i, stride in enumerate(_DISC_STRIDES):
+        w, u = params[f"conv{i}.weight"], params[f"conv{i}.u"]
+        w_sn, u_new = spectral_normalize(w, u)
+        new_u[f"conv{i}.u"] = u_new
+        y = conv2d(y, w_sn, stride=stride, padding=1)
+        if i < len(_DISC_STRIDES) - 1:
+            y = jax.nn.leaky_relu(y, 0.2)
+        feats.append(y)
+    return y, feats, new_u
+
+
 def load_edge_connect(weight_dir: str):
     """Load the three checkpoints (networks.py:11-26). Returns a dict of
     parameter trees {edge, inpaint, disp} for the functions above."""

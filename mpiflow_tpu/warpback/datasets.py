@@ -123,6 +123,11 @@ def inpaint_rgbd_batch(ec_params: Dict, image: jnp.ndarray,
     from mpiflow_tpu.ops.canny import canny_edges
     # torchvision Grayscale coefficients (the reference applies
     # transforms.Grayscale(), stage2_dataset.py:114)
+    # The renderer hands back a fractional visibility mask; the reference
+    # chain (and the committed golden, gen_stage2_golden.py) binarize it at
+    # 0.5 before inpainting — match that so boundary pixels get the same
+    # hard image+hole inputs the golden parity test exercises.
+    mask = (mask > 0.5).astype(image.dtype)
     gray = (0.2989 * image[:, 0] + 0.587 * image[:, 1]
             + 0.114 * image[:, 2])                                # [B,H,W]
     edge = jax.vmap(lambda g, m: canny_edges(g, sigma=2.0, mask=m))(
