@@ -174,15 +174,18 @@ def main(argv=None) -> int:
     gen_s = 0.0
     occupancies = []
     starved = 0
-    win_t0 = time.time()
+    t_start = time.time()
+    win_t0 = t_start
     win_gen = 0.0
+    win_steps = 0
     window_rates = []
     for step in range(args.num_steps):
         if step % args.gen_every == 0:
             tg = time.time()
             generate_one()
-            gen_s += time.time() - tg
-            win_gen += time.time() - tg
+            dtg = time.time() - tg
+            gen_s += dtg
+            win_gen += dtg
         occupancies.append(len(buffer))
         if len(buffer) < args.batch_size:
             starved += 1
@@ -190,33 +193,38 @@ def main(argv=None) -> int:
         state.params, state.opt_state, metrics = trainer.step_fn(
             state.params, state.opt_state, *batch)
         state.step += 1
+        win_steps += 1
         logger.push(state.step, metrics, args.batch_size)
         if state.step % 100 == 0:
             dt = time.time() - win_t0
-            window_rates.append(100 * args.batch_size / dt)
+            window_rates.append(win_steps * args.batch_size / dt)
             logger.write_dict(state.step, {
                 "buffer": len(buffer), "gen_duty": win_gen / dt,
                 "img_per_sec": window_rates[-1]}, split="online")
             win_t0 = time.time()
             win_gen = 0.0
+            win_steps = 0
         if state.step % train_cfg.val_freq == 0:
             trainer.save(state, args.checkpoint_dir)
     trainer.save(state, args.checkpoint_dir, final=True)
     logger.close()
     data_iter.close()
     import numpy as _np
-    total_s = sum(100 * args.batch_size / r for r in window_rates) or 1.0
+    total_s = time.time() - t_start
     steady = window_rates[len(window_rates) // 2:] or window_rates
     summary = {
         "steps": int(state.step),
         "img_per_sec_steady": round(float(_np.mean(steady)), 3)
         if steady else None,
         "gen_duty_cycle": round(gen_s / max(total_s, 1e-9), 4),
+        "total_wall_s": round(total_s, 1),
         "buffer_min": int(min(occupancies)) if occupancies else 0,
         "buffer_mean": round(float(_np.mean(occupancies)), 1)
         if occupancies else 0,
         "starved_steps": starved,
     }
+    with open(os.path.join(run_dir, "summary.json"), "w") as f:
+        json.dump(summary, f)
     print(json.dumps(summary))
     return 0
 
