@@ -423,20 +423,39 @@ def raft_forward(params: Dict, image1: jnp.ndarray, image2: jnp.ndarray,
                                    radius=cfg.corr_radius)
     else:
         pyramid = all_pairs_corr_pyramid(fmap1, fmap2, cfg.corr_levels)
-        use_pallas = False
+        use_pallas = use_fused = False
         # "pallas_interpret" forces the Pallas kernel through the
         # interpreter (runs on any backend; used by the CPU-mesh sharding
         # tests and dryrun_multichip to validate the kernel program under
         # shard_map partitioning without TPU hardware)
         interp = cfg.corr_impl == "pallas_interpret"
         if cfg.corr_impl in ("pallas", "pallas_interpret"):
-            from mpiflow_tpu.ops.pallas_corr import (corr_lookup_pallas,
-                                                     pallas_corr_supported,
-                                                     supported_shape)
-            use_pallas = (supported_shape(N * h * w, cfg.corr_radius)
+            from mpiflow_tpu.ops.pallas_corr import (
+                corr_lookup_pallas, corr_lookup_pallas_fused,
+                fused_supported_shape, pad_pyramid_fused,
+                pallas_corr_fused_supported, pallas_corr_supported,
+                supported_shape)
+            lvl_shapes = tuple((c.shape[1], c.shape[2]) for c in pyramid)
+            # prefer the fused slice+gather kernel (one pallas_call for all
+            # levels, no per-pixel matmuls); fall back to the matmul kernel,
+            # then to the XLA row-window path
+            use_fused = (fused_supported_shape(lvl_shapes, N * h * w,
+                                               cfg.corr_radius)
+                         and (interp
+                              or pallas_corr_fused_supported(
+                                  cfg.corr_radius)))
+            use_pallas = (not use_fused
+                          and supported_shape(N * h * w, cfg.corr_radius)
                           and (interp
                                or pallas_corr_supported(cfg.corr_radius)))
-        if use_pallas:
+        if use_fused:
+            # pad once, OUTSIDE the GRU scan: the padded maps become scan
+            # constants and the 12 per-iteration lookups reuse them
+            padded, lvl_shapes = pad_pyramid_fused(pyramid, cfg.corr_radius)
+            lookup = functools.partial(corr_lookup_pallas_fused, padded,
+                                       lvl_shapes, radius=cfg.corr_radius,
+                                       interpret=interp)
+        elif use_pallas:
             lookup = functools.partial(corr_lookup_pallas, pyramid,
                                        radius=cfg.corr_radius,
                                        interpret=interp)

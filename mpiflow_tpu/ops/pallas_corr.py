@@ -224,6 +224,245 @@ def corr_lookup_pallas(pyramid, coords: jnp.ndarray, radius: int,
     return jnp.concatenate(out, axis=-1)
 
 
+# ---------------------------------------------------------------------------
+# Fused all-levels lookup (v2): slice + lane-gather instead of one-hot matmuls
+#
+# The matmul kernel above spends its time issuing two tiny MXU matmuls per
+# pixel per level (8 px/program x 4 levels x 12 GRU iters x fwd+bwd); the
+# window it selects is CONTIGUOUS in both y and x, so selection needs no
+# contraction at all. This kernel pads each level's maps vertically in HBM
+# once per step (out-of-window rows then read REAL zeros -- row clip+mask
+# semantics for free), dynamic-slices each pixel's 16-row band into a
+# stacked [8px x 16rows = 128 sublane] scratch, and selects columns with one
+# vectorized vreg-local `take_along_axis` over all 128 rows. All four
+# pyramid levels run in ONE pallas_call per lookup. The backward is the
+# exact adjoint: per-pixel pad-place of the upstream [K,K] block, inverse
+# lane-gather, and a dynamic-slice store into the zeroed padded gradient
+# (cropping the pad is XLA's jnp.pad VJP). No matmuls, no scatters, no
+# gather indices in HBM -- the same primitives pallas_warp.py already
+# proves on this Mosaic backend (dynamic sublane slices, lane-dim
+# take_along_axis, in-kernel jnp.pad).
+# ---------------------------------------------------------------------------
+
+SLICE = 16          # rows sliced per pixel (>= Wn; 8 px x 16 = 128 sublanes)
+LANES = 128
+
+
+def _pads_for(r: int):
+    """Top/bottom zero-row padding so every (clamped) window slice is
+    in-bounds: y0 clamped to [-(r+2), hl+r+1] keeps fully-out-of-range
+    windows entirely inside the zero pad (exactly the all-masked case of
+    the XLA path); sc = y0-r+PT then spans [PT-2r-2, hl+1+PT]."""
+    pt = 2 * r + 2
+    pb = SLICE + 1
+    return pt, pb
+
+
+def _fused_aux(coords: jnp.ndarray, shapes, r: int) -> jnp.ndarray:
+    """[P*SLICE, 8*L] f32: per level l columns 8l+0..3 = (sc, x0, fx, fy),
+    each pixel's row repeated SLICE times so kernel rows align with the
+    stacked scratch layout."""
+    P = coords.shape[0] * coords.shape[1] * coords.shape[2]
+    c = coords.reshape(P, 2)
+    pt, _ = _pads_for(r)
+    cols = []
+    for l, (hl, wl) in enumerate(shapes):
+        cl = c / (2 ** l)
+        x, y = cl[:, 0], cl[:, 1]
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        fx = x - x0
+        fy = y - y0
+        # clamp BEFORE int cast (float-safe); clamped-out windows land
+        # fully in the zero pad / fully masked, matching row_ok/col_ok
+        y0c = jnp.clip(y0, -(r + 2), hl + r + 1)
+        x0c = jnp.clip(x0, -(r + 2), wl + r + 1)
+        sc = y0c - r + pt
+        cols += [sc, x0c, fx, fy, jnp.zeros_like(sc), jnp.zeros_like(sc),
+                 jnp.zeros_like(sc), jnp.zeros_like(sc)]
+    aux = jnp.stack(cols, axis=-1).astype(jnp.float32)     # [P, 8L]
+    return jnp.repeat(aux, SLICE, axis=0)                  # [P*SLICE, 8L]
+
+
+def _fused_fwd_kernel(aux_ref, *refs, shapes, r: int):
+    L = len(shapes)
+    corr_refs, out_refs, scr = refs[:L], refs[L:2 * L], refs[2 * L]
+    K = 2 * r + 1
+    Wn = K + 1
+    lane = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+    for l, (hl, wl) in enumerate(shapes):
+        for t in range(T_PIX):
+            sc = aux_ref[SLICE * t, 8 * l].astype(jnp.int32)
+            scr[SLICE * t:SLICE * (t + 1), :wl] = \
+                corr_refs[l][t, pl.dslice(sc, SLICE), :]
+        x0 = aux_ref[:, 8 * l + 1:8 * l + 2].astype(jnp.int32)  # [128,1]
+        fx = aux_ref[:, 8 * l + 2:8 * l + 3]
+        fy = aux_ref[:, 8 * l + 3:8 * l + 4]
+        cx = x0 - r + lane
+        ok = (cx >= 0) & (cx <= wl - 1) & (lane < Wn)
+        G = jnp.take_along_axis(scr[...], jnp.clip(cx, 0, wl - 1), axis=1)
+        G = jnp.where(ok, G, 0.0)
+        # weight the four bilinear taps on the full stack, then assemble
+        # each pixel's [K,K] with static slices (A*w00 + B*w01 + C*w10 +
+        # D*w11 in the XLA path's exact order and operand values)
+        A = G * ((1 - fy) * (1 - fx))
+        B = G * ((1 - fy) * fx)
+        C = G * (fy * (1 - fx))
+        D = G * (fy * fx)
+        for t in range(T_PIX):
+            b = SLICE * t
+            out_refs[l][t] = (A[b:b + K, :K] + B[b:b + K, 1:K + 1]
+                              + C[b + 1:b + K + 1, :K]
+                              + D[b + 1:b + K + 1, 1:K + 1])
+
+
+def _fused_bwd_kernel(aux_ref, *refs, shapes, r: int):
+    L = len(shapes)
+    g_refs, dcorr_refs, scr = refs[:L], refs[L:2 * L], refs[2 * L]
+    K = 2 * r + 1
+    Wn = K + 1
+    lane = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+    for l, (hl, wl) in enumerate(shapes):
+        hl_pad = hl + sum(_pads_for(r))
+        # per-pixel adjoint of the 4-tap combine into the stacked scratch
+        for t in range(T_PIX):
+            fx = aux_ref[SLICE * t, 8 * l + 2]
+            fy = aux_ref[SLICE * t, 8 * l + 3]
+            g = g_refs[l][t]                               # [K, K]
+            p = SLICE - K
+            dsel = ((1 - fy) * (1 - fx) * jnp.pad(g, ((0, p), (0, p)))
+                    + (1 - fy) * fx * jnp.pad(g, ((0, p), (1, p - 1)))
+                    + fy * (1 - fx) * jnp.pad(g, ((1, p - 1), (0, p)))
+                    + fy * fx * jnp.pad(g, ((1, p - 1), (1, p - 1))))
+            scr[SLICE * t:SLICE * (t + 1), :SLICE] = dsel
+        # columns adjoint: lane x receives dsel[:, x - (x0-r)] when that
+        # window column exists and is in bounds (the fwd col_ok mask)
+        x0 = aux_ref[:, 8 * l + 1:8 * l + 2].astype(jnp.int32)
+        k = lane - x0 + r
+        valid = (k >= 0) & (k <= Wn - 1)
+        dG = jnp.take_along_axis(scr[...], jnp.clip(k, 0, SLICE - 1),
+                                 axis=1)
+        dG = jnp.where(valid, dG, 0.0)
+        for t in range(T_PIX):
+            sc = aux_ref[SLICE * t, 8 * l].astype(jnp.int32)
+            dcorr_refs[l][t] = jnp.zeros((hl_pad, wl), jnp.float32)
+            dcorr_refs[l][t, pl.dslice(sc, SLICE), :] = \
+                dG[SLICE * t:SLICE * (t + 1), :wl]
+
+
+def _fused_shapes(padded, r: int):
+    pt, pb = _pads_for(r)
+    return tuple((c.shape[1] - pt - pb, c.shape[2]) for c in padded)
+
+
+@functools.partial(jax.jit, static_argnames=("shapes", "r", "interpret"))
+def _fused_fwd(padded, aux, shapes, r: int, interpret: bool):
+    P = padded[0].shape[0]
+    K = 2 * r + 1
+    L = len(shapes)
+    in_specs = [pl.BlockSpec((T_PIX * SLICE, 8 * L), lambda i: (i, 0))]
+    in_specs += [pl.BlockSpec((T_PIX, c.shape[1], c.shape[2]),
+                              lambda i: (i, 0, 0)) for c in padded]
+    return pl.pallas_call(
+        functools.partial(_fused_fwd_kernel, shapes=shapes, r=r),
+        grid=(P // T_PIX,),
+        in_specs=in_specs,
+        out_specs=[pl.BlockSpec((T_PIX, K, K), lambda i: (i, 0, 0))
+                   for _ in shapes],
+        out_shape=[jax.ShapeDtypeStruct((P, K, K), jnp.float32)
+                   for _ in shapes],
+        scratch_shapes=[pltpu.VMEM((LANES, LANES), jnp.float32)],
+        interpret=interpret,
+    )(aux, *padded)
+
+
+@functools.partial(jax.jit, static_argnames=("shapes", "r", "interpret"))
+def _fused_bwd(gs, aux, shapes, r: int, interpret: bool):
+    P = aux.shape[0] // SLICE
+    K = 2 * r + 1
+    L = len(shapes)
+    pt, pb = _pads_for(r)
+    in_specs = [pl.BlockSpec((T_PIX * SLICE, 8 * L), lambda i: (i, 0))]
+    in_specs += [pl.BlockSpec((T_PIX, K, K), lambda i: (i, 0, 0))
+                 for _ in shapes]
+    return pl.pallas_call(
+        functools.partial(_fused_bwd_kernel, shapes=shapes, r=r),
+        grid=(P // T_PIX,),
+        in_specs=in_specs,
+        out_specs=[pl.BlockSpec((T_PIX, hl + pt + pb, wl),
+                                lambda i: (i, 0, 0)) for hl, wl in shapes],
+        out_shape=[jax.ShapeDtypeStruct((P, hl + pt + pb, wl), jnp.float32)
+                   for hl, wl in shapes],
+        scratch_shapes=[pltpu.VMEM((LANES, LANES), jnp.float32)],
+        interpret=interpret,
+    )(aux, *gs)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _fused_lookup(padded, aux, shapes, r: int, interpret: bool):
+    return _fused_fwd(tuple(padded), aux, shapes, r, interpret)
+
+
+def _fused_vjp_fwd(padded, aux, shapes, r, interpret):
+    return _fused_fwd(tuple(padded), aux, shapes, r, interpret), aux
+
+
+def _fused_vjp_bwd(shapes, r, interpret, aux, gs):
+    dpadded = _fused_bwd(tuple(gs), aux, shapes, r, interpret)
+    return tuple(dpadded), None
+
+
+_fused_lookup.defvjp(_fused_vjp_fwd, _fused_vjp_bwd)
+
+
+def fused_supported_shape(shapes, P: int, radius: int = 4) -> bool:
+    """Static guards: full T_PIX tiles, window fits the SLICE band, every
+    level's map width fits one vreg lane row and holds a whole window."""
+    Wn = 2 * radius + 2
+    return (P % T_PIX == 0 and Wn <= SLICE
+            and all(wl <= LANES and wl >= Wn for _, wl in shapes))
+
+
+def pad_pyramid_fused(pyramid, radius: int):
+    """[P,hl,wl,1] pyramid -> (padded f32 [P,hl+pt+pb,wl] list, shapes).
+    Called once per step outside the GRU scan so the padded maps are scan
+    constants; the jnp.pad VJP crops gradients back automatically."""
+    pt, pb = _pads_for(radius)
+    shapes = tuple((c.shape[1], c.shape[2]) for c in pyramid)
+    padded = [jnp.pad(c[..., 0].astype(jnp.float32),
+                      ((0, 0), (pt, pb), (0, 0))) for c in pyramid]
+    return padded, shapes
+
+
+def corr_lookup_pallas_fused(padded, shapes, coords: jnp.ndarray,
+                             radius: int, interpret: bool = False):
+    """Fused-levels drop-in for corr_lookup_windowed, taking the output of
+    pad_pyramid_fused. Same contract as corr_lookup_pallas: gradients flow
+    to the maps only (coords are stop-gradient'ed per GRU iteration)."""
+    N, h, w, _ = coords.shape
+    P = N * h * w
+    if not fused_supported_shape(shapes, P, radius):
+        raise ValueError(
+            f"corr_lookup_pallas_fused: P={P} or level shapes {shapes} "
+            f"outside the fused kernel tiling; guard with "
+            f"fused_supported_shape()")
+    K = 2 * radius + 1
+    aux = _fused_aux(coords, shapes, radius)
+    vals = _fused_lookup(tuple(padded), aux, shapes, radius, interpret)
+    return jnp.concatenate(
+        [v.transpose(0, 2, 1).reshape(N, h, w, K * K) for v in vals],
+        axis=-1)
+
+
+def corr_lookup_fused(pyramid, coords: jnp.ndarray, radius: int,
+                      interpret: bool = False) -> jnp.ndarray:
+    """Signature-compatible wrapper (pads per call; the model uses
+    pad_pyramid_fused once + corr_lookup_pallas_fused per iteration)."""
+    padded, shapes = pad_pyramid_fused(pyramid, radius)
+    return corr_lookup_pallas_fused(padded, shapes, coords, radius,
+                                    interpret)
+
+
 _SUPPORTED = {}
 
 
@@ -253,3 +492,49 @@ def pallas_corr_supported(radius: int = 4) -> bool:
         except Exception:  # pragma: no cover - environment dependent
             _SUPPORTED[radius] = False
     return _SUPPORTED[radius]
+
+
+_FUSED_SUPPORTED = {}
+
+
+def pallas_corr_fused_supported(radius: int = 4) -> bool:
+    """Probe the fused kernel once per radius: compile+run a tiny 4-level
+    lookup (coords inside, outside, and straddling the maps). Window
+    SELECTION must be bit-exact (asserted with integer coords, where the
+    bilinear weights are exactly 0/1); fractional coords must agree within
+    a few ulp -- the 4-tap bilinear FMA contraction is a compiler choice
+    that can round differently between the two graphs (measured 1-2 ulp),
+    unlike the matmul kernel whose combine XLA happens to fuse identically."""
+    import os
+    if os.environ.get("MPIFLOW_CORR_NO_FUSED"):
+        return False        # benchmarking escape: force the matmul kernel
+    if radius not in _FUSED_SUPPORTED:
+        try:
+            from mpiflow_tpu.models.raft import (all_pairs_corr_pyramid,
+                                                 corr_lookup_windowed)
+            rng = np.random.RandomState(0)
+            # w=80 keeps the coarsest level's width >= the Wn=10 window
+            N, h, w, D = 1, 8, 80, 8
+            f1 = jnp.asarray(rng.randn(N, h, w, D).astype(np.float32))
+            f2 = jnp.asarray(rng.randn(N, h, w, D).astype(np.float32))
+            pyr = all_pairs_corr_pyramid(f1, f2, 4)
+            padded, shapes = pad_pyramid_fused(pyr, radius)
+            if not fused_supported_shape(shapes, N * h * w, radius):
+                _FUSED_SUPPORTED[radius] = False
+                return False
+            raw = rng.rand(N, h, w, 2) * [3 * w, 3 * h] - w
+            ok = True
+            for coords_np in (np.round(raw), raw):   # exact, then ulp-close
+                coords = jnp.asarray(coords_np.astype(np.float32))
+                got = np.asarray(corr_lookup_pallas_fused(
+                    padded, shapes, coords, radius))
+                ref = np.asarray(corr_lookup_windowed(pyr, coords,
+                                                      radius=radius))
+                exact = (got == ref).all()
+                ok = ok and (bool(exact) if coords_np is not raw else
+                             bool(np.allclose(got, ref, rtol=3e-7,
+                                              atol=3e-7)))
+            _FUSED_SUPPORTED[radius] = ok
+        except Exception:  # pragma: no cover - environment dependent
+            _FUSED_SUPPORTED[radius] = False
+    return _FUSED_SUPPORTED[radius]

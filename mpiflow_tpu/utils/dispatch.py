@@ -78,13 +78,19 @@ def resolve_corr_impl(requested: str = "pallas", radius: int = 4,
     """
     if requested != "pallas":
         return requested
-    from mpiflow_tpu.ops.pallas_corr import (pallas_corr_supported,
+    from mpiflow_tpu.ops.pallas_corr import (pallas_corr_fused_supported,
+                                             pallas_corr_supported,
                                              supported_shape)
     if num_pixels is not None and not supported_shape(num_pixels, radius):
         _log_once(("corr", "shape", num_pixels, radius),
                   f"corr_impl: xla (P={num_pixels}, radius={radius} "
                   f"outside the pallas kernel's tiling)")
         return "xla"
+    if pallas_corr_fused_supported(radius):
+        _log_once(("corr", "fused", radius),
+                  f"corr_impl: pallas fused-levels correlation kernel "
+                  f"(radius={radius})")
+        return "pallas"
     if pallas_corr_supported(radius):
         _log_once(("corr", "ok", radius),
                   f"corr_impl: pallas correlation kernel (radius={radius})")

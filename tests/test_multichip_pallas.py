@@ -63,6 +63,39 @@ def test_corr_lookup_pallas_sharded_matches_xla():
 
 
 @needs_mesh
+def test_corr_lookup_fused_sharded_matches_xla():
+    """The fused slice+gather correlation kernel under shard_map, one
+    problem per device, matches the XLA row-window lookup (ULP-level in
+    interpret mode; selection exactness is gated on hardware)."""
+    from mpiflow_tpu.models.raft import corr_lookup_windowed
+    from mpiflow_tpu.ops.pallas_corr import corr_lookup_fused
+
+    mesh = make_mesh()
+    n = mesh.devices.size
+    rng = np.random.RandomState(0)
+    h, w = 8, 48                             # wl >= the Wn=10 window
+    Ppix = h * w
+    corr = rng.randn(n, Ppix, h, w, 1).astype(np.float32)
+    coords = (rng.rand(n, 1, h, w, 2) * [3 * w, 3 * h] - w).astype(
+        np.float32)
+
+    def local(corr_b, coords_b):
+        return corr_lookup_fused([corr_b[0]], coords_b[0], radius=4,
+                                 interpret=True)[None]
+
+    f = jax.jit(jax.shard_map(local, mesh=mesh,
+                              in_specs=(P("data"), P("data")),
+                              out_specs=P("data"), check_vma=False))
+    got = np.asarray(f(shard_batch(mesh, jnp.asarray(corr)),
+                       shard_batch(mesh, jnp.asarray(coords))))
+    for b in range(n):
+        ref = corr_lookup_windowed([jnp.asarray(corr[b])],
+                                   jnp.asarray(coords[b]), radius=4)
+        np.testing.assert_allclose(got[b], np.asarray(ref),
+                                   rtol=1e-6, atol=1e-6)
+
+
+@needs_mesh
 def test_warp_pallas_sharded_matches_xla():
     """The warp kernel program, shard_map'd one image per device, matches
     the XLA border sampler bit-for-bit."""

@@ -63,6 +63,68 @@ def test_supported_shape_guard():
     assert not supported_shape(17281)
 
 
+# -- fused (slice + lane-gather) kernel --------------------------------------
+
+
+def _fused(pyr, coords, radius, interpret=True):
+    from mpiflow_tpu.ops.pallas_corr import corr_lookup_fused
+    return corr_lookup_fused(pyr, coords, radius, interpret=interpret)
+
+
+@pytest.mark.parametrize("radius", [3, 4])
+def test_fused_forward_matches_xla(radius):
+    rng = np.random.RandomState(0)
+    N, h, w = 2, 8, 48                      # coarsest wl=12 >= Wn=10
+    pyr = _pyramid(rng, N * h * w, h, w)
+    coords = jnp.asarray(
+        (rng.rand(N, h, w, 2) * [3 * w, 3 * h] - w).astype(np.float32))
+    ref = corr_lookup_windowed(pyr, coords, radius)
+    got = _fused(pyr, coords, radius)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-6, rtol=0)
+
+
+def test_fused_selection_bit_exact_at_integer_coords():
+    """With integer coords the bilinear weights are exactly 0/1: any
+    difference would be a selection bug, not FMA rounding."""
+    rng = np.random.RandomState(3)
+    N, h, w = 1, 8, 48
+    pyr = _pyramid(rng, N * h * w, h, w, levels=1)
+    coords = jnp.asarray(
+        np.round(rng.rand(N, h, w, 2) * [3 * w, 3 * h] - w).astype(
+            np.float32))
+    ref = corr_lookup_windowed(pyr, coords, 4)
+    got = _fused(pyr, coords, 4)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_fused_backward_matches_xla():
+    rng = np.random.RandomState(1)
+    N, h, w = 1, 8, 48
+    pyr = _pyramid(rng, N * h * w, h, w, levels=2)
+    coords = jnp.asarray(
+        (rng.rand(N, h, w, 2) * [w + 8, h + 8] - 4).astype(np.float32))
+    tang = jnp.asarray(rng.randn(N, h, w, 2 * 81).astype(np.float32))
+
+    def loss(fn, p):
+        return jnp.sum(fn(p, coords, 4) * tang)
+
+    g_ref = jax.grad(lambda p: loss(corr_lookup_windowed, p))(pyr)
+    g_got = jax.grad(lambda p: loss(_fused, p))(pyr)
+    for a, b in zip(g_ref, g_got):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=1e-5, rtol=1e-5)
+
+
+def test_fused_shape_guard():
+    from mpiflow_tpu.ops.pallas_corr import fused_supported_shape
+    good = ((36, 120), (18, 60), (9, 30), (4, 15))
+    assert fused_supported_shape(good, 17280, 4)
+    assert not fused_supported_shape(good, 17281, 4)       # tile misfit
+    assert not fused_supported_shape(((36, 200),), 17280, 4)  # wl > lanes
+    assert not fused_supported_shape(((36, 8),), 17280, 4)    # wl < window
+
+
 def test_raft_forward_dispatch_falls_back():
     """corr_impl='pallas' on the CPU backend must silently fall back to the
     XLA path (probe fails off-TPU) and produce identical flows."""

@@ -36,6 +36,7 @@ def main():
     from mpiflow_tpu.models.raft import (all_pairs_corr_pyramid,
                                          corr_lookup_windowed)
     from mpiflow_tpu.ops.pallas_corr import (corr_lookup_pallas,
+                                             pallas_corr_fused_supported,
                                              pallas_corr_supported)
 
     N, H, W, D = 4, 288, 960, 256
@@ -48,13 +49,16 @@ def main():
                              np.arange(h, dtype=np.float32)), -1)[None]
         * np.ones((N, 1, 1, 1), np.float32))
 
-    res = {"pallas_supported": pallas_corr_supported()}
+    res = {"pallas_supported": pallas_corr_supported(),
+           "fused_supported": pallas_corr_fused_supported()}
 
-    def chain(lookup_fn):
+    def chain(lookup_fn, prep=None):
         def f(fmap1, fmap2, coords):
             pyr = all_pairs_corr_pyramid(fmap1, fmap2, 4)
+            look = (lookup_fn if prep is None
+                    else prep(pyr))          # e.g. pad once outside the scan
             def step(c, _):
-                v = lookup_fn(pyr, c, 4)
+                v = look(pyr, c, 4) if prep is None else look(c)
                 # feed a little of the output back into coords: a real
                 # data dependency like the GRU update, prevents batching
                 c = c + v[..., :2] * 1e-3
@@ -63,14 +67,23 @@ def main():
             return vs.sum()
         return f
 
-    for name, fn in (("xla", corr_lookup_windowed),
-                     ("pallas", corr_lookup_pallas)):
+    def fused_prep(pyr):
+        from mpiflow_tpu.ops.pallas_corr import (corr_lookup_pallas_fused,
+                                                 pad_pyramid_fused)
+        padded, shapes = pad_pyramid_fused(pyr, 4)
+        return lambda c: corr_lookup_pallas_fused(padded, shapes, c, 4)
+
+    for name, fn, prep in (("xla", corr_lookup_windowed, None),
+                           ("pallas", corr_lookup_pallas, None),
+                           ("fused", None, fused_prep)):
         if name == "pallas" and not res["pallas_supported"]:
             continue
-        f = jax.jit(chain(fn))
+        if name == "fused" and not res["fused_supported"]:
+            continue
+        f = jax.jit(chain(fn, prep))
         res[f"lookup12_fwd_ms_{name}"] = round(
             timed(f, fmap1, fmap2, coords0) * 1e3, 3)
-        g = jax.jit(jax.grad(chain(fn), argnums=(0, 1)))
+        g = jax.jit(jax.grad(chain(fn, prep), argnums=(0, 1)))
         res[f"lookup12_fwdbwd_ms_{name}"] = round(
             timed(g, fmap1, fmap2, coords0) * 1e3, 3)
 
@@ -87,12 +100,21 @@ def main():
     params = {k: jnp.asarray(v)
               for k, v in init_random_params(False, 0).items()}
 
-    for name in ("xla", "pallas"):
-        if name == "pallas" and not res["pallas_supported"]:
+    for name in ("xla", "pallas_matmul", "pallas_fused"):
+        if name == "pallas_matmul" and not res["pallas_supported"]:
             continue
+        if name == "pallas_fused" and not res["fused_supported"]:
+            continue
+        # the model dispatch prefers the fused kernel under "pallas";
+        # MPIFLOW_CORR_NO_FUSED forces the matmul kernel for comparison
+        if name == "pallas_matmul":
+            os.environ["MPIFLOW_CORR_NO_FUSED"] = "1"
+        else:
+            os.environ.pop("MPIFLOW_CORR_NO_FUSED", None)
         tcfg = TrainConfig(num_steps=1000, batch_size=N, iters=12)
         mcfg = dataclasses.replace(RAFTConfig(), mixed_precision=True,
-                                   corr_impl=name)
+                                   corr_impl=name if name == "xla"
+                                   else "pallas")
         tx, _ = make_optimizer(tcfg)
         step = make_train_step(tcfg, mcfg, tx, donate=False)
         opt_state = tx.init(params)
