@@ -70,6 +70,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--data_parallel", type=int, default=1,
                    help="shard generation over N mesh devices (one image "
                         "per device per wave); 1 = single-chip")
+    p.add_argument("--hosts", type=int, default=1,
+                   help="multi-slice shape: hosts x data_parallel mesh "
+                        "(\"host\" x \"data\" axes); --base then accepts "
+                        "either one dir (round-robin split across hosts) "
+                        "or a comma-separated dir per host; requires "
+                        "--rng jax")
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--profile", action="store_true",
                    help="report per-stage wall-clock means in the summary")
@@ -102,7 +108,7 @@ def make_config(args):
         inpaint=InpaintConfig(method=args.inpaint),
         depth=DepthConfig(bilateral_iters=args.bilateral),
         rng_mode=args.rng, resume=not args.no_resume,
-        mesh_data_axis=args.data_parallel,
+        mesh_data_axis=args.data_parallel, mesh_host_axis=args.hosts,
         save_flow_viz={"auto": args.flavor == "coco",
                        "on": True, "off": False}[args.flow_viz])
 
@@ -143,13 +149,15 @@ def main(argv=None) -> int:
 
     from mpiflow_tpu.pipeline import DatasetGenerator
     gen = DatasetGenerator(cfg, mpi_predict_fn=mpi_fn)
+    base = (args.base.split(",") if args.hosts > 1 and "," in args.base
+            else args.base)
     if args.trace_dir:
         from mpiflow_tpu.utils.profiling import device_profile
         with device_profile(args.trace_dir):
-            stats = gen.run(args.base, args.out, limit=args.limit,
+            stats = gen.run(base, args.out, limit=args.limit,
                             profile=args.profile)
     else:
-        stats = gen.run(args.base, args.out, limit=args.limit,
+        stats = gen.run(base, args.out, limit=args.limit,
                         profile=args.profile)
     print(json.dumps(stats))
     return 0

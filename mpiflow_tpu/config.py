@@ -114,6 +114,12 @@ class GenConfig:
     # Batching across images on one chip and sharding across the mesh.
     batch_images: int = 1
     mesh_data_axis: int = 1
+    # Multi-slice shape: >1 builds a ("host", "data") mesh of this many
+    # rows x mesh_data_axis columns; each row consumes its own input base
+    # dir (run() then takes a list of bases, one per host). Requires
+    # rng_mode="jax" -- the numpy reference stream is inherently sequential
+    # over one global file order.
+    mesh_host_axis: int = 1
     # Host-side RNG parity with the reference (python `random` + numpy global
     # seeds). "numpy" reproduces the reference sample stream; "jax" uses
     # counter-based jax.random (faster, order-independent, production default).

@@ -16,21 +16,36 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+HOST_AXIS = "host"
 
 
 def make_mesh(num_devices: Optional[int] = None,
-              devices: Optional[Sequence] = None) -> Mesh:
-    """A 1-D data-parallel mesh over the available devices."""
+              devices: Optional[Sequence] = None,
+              num_hosts: int = 1) -> Mesh:
+    """A data-parallel mesh over the available devices.
+
+    num_hosts > 1 builds a 2-D ("host", "data") mesh of num_hosts rows --
+    the multi-slice / multi-host generation shape (SURVEY §2.4): each host
+    row consumes its own input shard, sharding within a row rides ICI while
+    the rows are independent (nothing crosses DCN in the generation sweep).
+    """
     if devices is None:
         devices = jax.devices()
         if num_devices is not None:
             devices = devices[:num_devices]
-    return Mesh(np.array(devices), (DATA_AXIS,))
+    devices = np.array(devices)
+    if num_hosts > 1:
+        if devices.size % num_hosts:
+            raise ValueError(
+                f"{devices.size} devices not divisible by {num_hosts} hosts")
+        return Mesh(devices.reshape(num_hosts, -1), (HOST_AXIS, DATA_AXIS))
+    return Mesh(devices, (DATA_AXIS,))
 
 
 def data_sharding(mesh: Mesh) -> NamedSharding:
-    """Shard the leading (batch) axis over the data axis."""
-    return NamedSharding(mesh, P(DATA_AXIS))
+    """Shard the leading (batch) axis over every mesh axis (host-major on a
+    2-D mesh: slot h*D+d lands on mesh row h, device column d)."""
+    return NamedSharding(mesh, P(tuple(mesh.axis_names)))
 
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:

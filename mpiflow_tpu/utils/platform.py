@@ -19,7 +19,15 @@ def compile_cache_dir(backend: str) -> str:
             flags = next((ln for ln in f if ln.startswith("flags")), "")
     except OSError:
         flags = ""
-    host = hashlib.sha1(flags.encode()).hexdigest()[:8]
+    # jaxlib version in the key too: an AOT blob written by a different
+    # XLA/LLVM build can carry target features (+prefer-no-gather, ...)
+    # the loader rejects even when /proc/cpuinfo flags match (seen r4)
+    try:
+        import jaxlib
+        ver = getattr(jaxlib, "__version__", "")
+    except Exception:  # pragma: no cover
+        ver = ""
+    host = hashlib.sha1(f"{flags}|{ver}".encode()).hexdigest()[:8]
     return f"/tmp/mpiflow_jax_cache_{backend}_{host}"
 
 

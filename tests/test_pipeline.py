@@ -105,6 +105,72 @@ def test_generator_data_parallel_matches_single(tmp_path):
             assert a == b, f"{sub}/{f} differs between single and dp paths"
 
 
+def test_generator_multihost_matches_single(tmp_path):
+    """The multi-slice (2 hosts x 4 devices) shape with round-robin input
+    sharding must produce the same dataset as the single-chip run, byte for
+    byte (jax rng mode is order-independent by design), including ragged
+    per-host tails."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    base = str(tmp_path / "base")
+    _make_dataset(base, n=5)  # 5 images over 2x4: ragged on both hosts
+    out_s = str(tmp_path / "single")
+    out_m = str(tmp_path / "mh")
+    DatasetGenerator(_small_cfg(out_s, rng_mode="jax")).run(base, out_s)
+    stats = DatasetGenerator(
+        _small_cfg(out_m, rng_mode="jax", mesh_data_axis=4,
+                   mesh_host_axis=2)).run(base, out_m)
+    assert stats["images"] == 5
+    assert stats["samples"] == 10
+    assert stats["errors"] == 0
+    for sub in ("flows", "src_images", "dst_images", "obj_mask"):
+        d1, d2 = os.path.join(out_s, sub), os.path.join(out_m, sub)
+        files = sorted(os.listdir(d1))
+        assert files == sorted(os.listdir(d2))
+        for f in files:
+            a = open(os.path.join(d1, f), "rb").read()
+            b = open(os.path.join(d2, f), "rb").read()
+            assert a == b, f"{sub}/{f} differs single vs multihost"
+
+
+def test_generator_multihost_per_host_dirs(tmp_path):
+    """One base dir per host row: each host consumes its own input shard
+    (the real multi-slice feeding pattern); names must not collide."""
+    import jax
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 virtual devices")
+    bases = []
+    for h in range(2):
+        b = str(tmp_path / f"host{h}")
+        _make_dataset(b, n=2)
+        # per-host unique names: rename 000/001 -> h<h>_000/...
+        for sub in ("images", "disps", "masks"):
+            d = os.path.join(b, sub)
+            for f in sorted(os.listdir(d)):
+                os.rename(os.path.join(d, f), os.path.join(d, f"h{h}_{f}"))
+        bases.append(b)
+    out = str(tmp_path / "out")
+    stats = DatasetGenerator(
+        _small_cfg(out, rng_mode="jax", mesh_data_axis=2,
+                   mesh_host_axis=2)).run(bases, out)
+    assert stats["images"] == 4
+    assert stats["samples"] == 8
+    assert stats["errors"] == 0
+    names = sorted(os.listdir(os.path.join(out, "flows")))
+    assert [n[:6] for n in names] == ["h0_000"] * 2 + ["h0_001"] * 2 + \
+        ["h1_000"] * 2 + ["h1_001"] * 2
+
+
+def test_generator_multihost_rejects_numpy_rng(tmp_path):
+    base = str(tmp_path / "base")
+    _make_dataset(base, n=1)
+    out = str(tmp_path / "out")
+    cfg = _small_cfg(out, mesh_data_axis=2, mesh_host_axis=2)
+    with pytest.raises(ValueError, match="rng_mode"):
+        DatasetGenerator(cfg).run(base, out)
+
+
 def test_generator_dp_rejects_oversized_mesh(tmp_path):
     import jax
     base = str(tmp_path / "base")
