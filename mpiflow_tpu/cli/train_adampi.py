@@ -57,6 +57,9 @@ def build_parser() -> argparse.ArgumentParser:
                    default="diffusion",
                    help="stage-2 hole filling: harmonic diffusion, or the "
                         "EdgeConnect trio at random published-layout weights")
+    p.add_argument("--ec_ckpt", default=None,
+                   help="trained EdgeConnect .npz (cli/train_edgeconnect) "
+                        "for the stage-2 inpainter; overrides --inpainter")
     p.add_argument("--trans_x", type=float, default=0.2,
                    help="warpback pose x-translation range (rand_tensor r)")
     p.add_argument("--restore_ckpt", default=None,
@@ -130,8 +133,14 @@ def main(argv=None) -> int:
     # ---- data ----------------------------------------------------------
     rgb_all, disp_all = load_scenes(args)
     logging.info("scenes: %s", rgb_all.shape)
-    ec = (random_edgeconnect_params(args.seed)
-          if args.inpainter == "edgeconnect_random" else None)
+    if args.ec_ckpt:
+        from mpiflow_tpu.train.edgeconnect_train import load_ec_checkpoint
+        ec = load_ec_checkpoint(args.ec_ckpt)
+        logging.info("stage-2 inpainter: trained EdgeConnect %s",
+                     args.ec_ckpt)
+    else:
+        ec = (random_edgeconnect_params(args.seed)
+              if args.inpainter == "edgeconnect_random" else None)
     synth = make_stage2_synthesizer(ec)
     trans_range = dict(DEFAULT_TRANS_RANGE, x=args.trans_x)
 

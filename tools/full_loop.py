@@ -1,0 +1,206 @@
+#!/usr/bin/env python
+"""The fully self-contained product loop (VERDICT r3 #2), end to end:
+
+  warpback scenes -> [train EdgeConnect] -> train AdaMPI on stage-2 pairs
+  -> generate MPI-Flow datasets with {geometric, adampi_random,
+  adampi_trained} predictors from ONE shared base -> train RAFT on each ->
+  held-out EPE/3px table.
+
+Every stage is an existing CLI (cli/train_edgeconnect, cli/train_adampi,
+cli/quality_loop); this driver chains them with paired budgets and writes
+one {variant: metrics} table. The reference implies this loop but never
+ships it: it consumes pretrained ecweight/*.pth and adampi_64p.pth
+(warpback/networks.py:11-26, gen_3dphoto_dynamic_v2.py:52-60) and trains
+only RAFT (RAFT/train_standard.sh). With the published weights stripped
+from the snapshot, a trained-from-scratch AdaMPI beating the random-weight
+and geometric predictors on the SAME downstream metric is the
+self-contained substitute for published-weight validation.
+
+CI scale (~10 min CPU):     python tools/full_loop.py --work_dir /tmp/fl --scale ci
+Product scale (TPU, hours): python tools/full_loop.py --work_dir /tmp/fl --scale product
+"""
+import argparse
+import contextlib
+import io
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SCALES = {
+    # adampi trains at (ah x aw); generation at (gh x gw) -- BOTH div-128
+    # (the AdaMPI decoder's receptive-field extension pools twice below the
+    # 1/32 scale; cli/train_adampi.py enforces the same constraint)
+    "ci": dict(ah=128, aw=256, gh=128, gw=256, planes=8, scenes=4,
+               val_scenes=2, repeat=2, adampi_scenes=4, adampi_steps=30,
+               adampi_batch=2, ec_steps=0, raft_steps=30, raft_batch=2,
+               small=True, iters=4, eval_iters=6, extend_best=0),
+    "product": dict(ah=256, aw=384, gh=384, gw=1280, planes=64, scenes=200,
+                    val_scenes=8, repeat=5, adampi_scenes=48,
+                    adampi_steps=2000, adampi_batch=4, ec_steps=1000,
+                    raft_steps=2000, raft_batch=4, small=False, iters=12,
+                    eval_iters=24, extend_best=3000),
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--work_dir", required=True)
+    ap.add_argument("--scale", choices=list(SCALES), default="ci")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--variants", nargs="+",
+                    default=["geometric", "adampi_random", "adampi_trained"])
+    for k, v in SCALES["ci"].items():
+        if isinstance(v, bool):
+            ap.add_argument(f"--{k}", default=None, action="store_true")
+        else:
+            ap.add_argument(f"--{k}", type=type(v), default=None)
+    args = ap.parse_args()
+    p = dict(SCALES[args.scale])
+    for k in SCALES["ci"]:
+        ov = getattr(args, k)
+        if ov is not None and not (isinstance(ov, bool) and not ov):
+            p[k] = ov
+
+    work = args.work_dir
+    os.makedirs(work, exist_ok=True)
+    table_path = os.path.join(work, "full_loop.json")
+    table = {"scale": args.scale, "params": p, "stages": {}}
+
+    def record(stage, payload):
+        table["stages"][stage] = payload
+        with open(table_path, "w") as f:
+            json.dump(table, f, indent=1)
+        print(f"[full_loop] {stage}: {json.dumps(payload)[:300]}",
+              flush=True)
+
+    def timed_main(stage, fn, argv):
+        t0 = time.time()
+        buf = io.StringIO()
+        # tee stdout so stage progress still streams to the console
+        class Tee(io.TextIOBase):
+            def write(self, s):
+                buf.write(s)
+                sys.__stdout__.write(s)
+                return len(s)
+        with contextlib.redirect_stdout(Tee()):
+            rc = fn(argv)
+        assert rc == 0, f"{stage} failed rc={rc}"
+        # last JSON line of the stage's stdout is its summary
+        summary = None
+        for line in reversed(buf.getvalue().strip().splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                summary = json.loads(line)
+                break
+        return summary, round(time.time() - t0, 1)
+
+    # ---- 1. EdgeConnect stage-1 training (optional) ---------------------
+    ec_ckpt = None
+    if p["ec_steps"] > 0 and "adampi_trained" in args.variants:
+        from mpiflow_tpu.cli.train_edgeconnect import main as ec_main
+        ec_ckpt = os.path.join(work, "ec", "ec.npz")
+        s, dt = timed_main("edgeconnect", ec_main, [
+            "--width", str(p["aw"]), "--height", str(p["ah"]),
+            "--synth_images", str(p["adampi_scenes"]),
+            "--num_steps", str(p["ec_steps"]), "--batch_size",
+            str(p["adampi_batch"]), "--seed", str(args.seed),
+            "--ckpt_out", ec_ckpt, "--run_dir", os.path.join(work, "ec")])
+        record("edgeconnect", {"seconds": dt, "ckpt": ec_ckpt,
+                               "summary": s})
+
+    # ---- 2. AdaMPI training on warpback stage-2 pairs -------------------
+    adampi_ckpt = None
+    if "adampi_trained" in args.variants:
+        from mpiflow_tpu.cli.train_adampi import main as adampi_main
+        adir = os.path.join(work, "adampi")
+        argv = ["--work_dir", adir, "--width", str(p["aw"]),
+                "--height", str(p["ah"]), "--planes", str(p["planes"]),
+                "--num_images", str(p["adampi_scenes"]),
+                "--num_steps", str(p["adampi_steps"]),
+                "--batch_size", str(p["adampi_batch"]),
+                "--seed", str(args.seed)]
+        argv += (["--ec_ckpt", ec_ckpt] if ec_ckpt
+                 else ["--inpainter", "diffusion"])
+        _, dt = timed_main("adampi", adampi_main, argv)
+        adampi_ckpt = os.path.join(adir, "checkpoints",
+                                   f"{p['adampi_steps']}_adampi.npz")
+        assert os.path.exists(adampi_ckpt), adampi_ckpt
+        record("adampi", {"seconds": dt, "ckpt": adampi_ckpt})
+
+    # ---- 3. shared generation bases (paired across variants) ------------
+    from mpiflow_tpu.cli.quality_loop import main as qloop_main, \
+        synthesize_base
+    base = os.path.join(work, "base")
+    val_base = os.path.join(work, "base_val")
+    if not os.path.isdir(base):
+        synthesize_base(base, p["scenes"], p["gh"], p["gw"], args.seed)
+    if not os.path.isdir(val_base):
+        synthesize_base(val_base, p["val_scenes"], p["gh"], p["gw"],
+                        args.seed + 90001)
+
+    # ---- 4. generate + train RAFT + eval, per predictor variant ---------
+    results = {}
+    for variant in args.variants:
+        vdir = os.path.join(work, f"loop_{variant}")
+        argv = ["--work_dir", vdir, "--base", base, "--val_base", val_base,
+                "--width", str(p["gw"]), "--height", str(p["gh"]),
+                "--planes", str(p["planes"]), "--repeat", str(p["repeat"]),
+                "--num_steps", str(p["raft_steps"]),
+                "--batch_size", str(p["raft_batch"]),
+                "--iters", str(p["iters"]),
+                "--eval_iters", str(p["eval_iters"]),
+                "--seed", str(args.seed)]
+        if p["small"]:
+            argv += ["--small"]
+        if variant == "adampi_trained":
+            argv += ["--predictor", "adampi", "--ckpt_path", adampi_ckpt]
+        else:
+            argv += ["--predictor", variant]
+        s, dt = timed_main(f"loop_{variant}", qloop_main, argv)
+        s["seconds"] = dt
+        results[variant] = s
+        record(f"loop_{variant}", s)
+
+    # ---- 5. optional extension of the best variant's training -----------
+    if p["extend_best"] > 0:
+        best = min(results, key=lambda v: results[v]["epe_final"])
+        vdir = os.path.join(work, f"loop_{best}")
+        ckpt = os.path.join(vdir, "checkpoints", "qloop.npz")
+        argv = ["--work_dir", os.path.join(work, f"extend_{best}"),
+                "--base", base, "--val_base", val_base,
+                "--width", str(p["gw"]), "--height", str(p["gh"]),
+                "--planes", str(p["planes"]), "--repeat", str(p["repeat"]),
+                "--num_steps", str(p["extend_best"]),
+                "--batch_size", str(p["raft_batch"]),
+                "--iters", str(p["iters"]),
+                "--eval_iters", str(p["eval_iters"]),
+                "--seed", str(args.seed + 1),
+                "--restore_ckpt", ckpt]
+        if p["small"]:
+            argv += ["--small"]
+        if best == "adampi_trained":
+            argv += ["--predictor", "adampi", "--ckpt_path", adampi_ckpt]
+        else:
+            argv += ["--predictor", best]
+        s, dt = timed_main(f"extend_{best}", qloop_main, argv)
+        s["seconds"] = dt
+        record(f"extend_{best}", s)
+
+    # ---- table ----------------------------------------------------------
+    table["table"] = {
+        v: {"epe_final": r["epe_final"], "3px_final": r["3px_final"],
+            "epe_init": r["epe_init"]} for v, r in results.items()}
+    if len(results) > 1 and {"adampi_trained", "adampi_random"} <= set(results):
+        table["trained_beats_random"] = (
+            results["adampi_trained"]["epe_final"]
+            < results["adampi_random"]["epe_final"])
+    with open(table_path, "w") as f:
+        json.dump(table, f, indent=1)
+    print(json.dumps(table["table"]))
+
+
+if __name__ == "__main__":
+    main()
