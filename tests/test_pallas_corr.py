@@ -125,6 +125,30 @@ def test_fused_shape_guard():
     assert not fused_supported_shape(((36, 8),), 17280, 4)    # wl < window
 
 
+def test_fused_runs_inside_raft_forward():
+    """At a fused-eligible shape (all pyramid widths >= the window), the
+    in-model dispatch must pick the fused kernel under pallas_interpret and
+    produce the XLA path's flows (ULP-level in interpret mode)."""
+    import dataclasses
+    from mpiflow_tpu.config import RAFTConfig
+    from mpiflow_tpu.models.raft import raft_forward
+    from mpiflow_tpu.cli.train_raft import init_random_params
+
+    rng = np.random.RandomState(4)
+    params = {k: jnp.asarray(v)
+              for k, v in init_random_params(True, 0).items()}
+    img1 = jnp.asarray(rng.rand(1, 64, 640, 3).astype(np.float32) * 255)
+    img2 = jnp.asarray(rng.rand(1, 64, 640, 3).astype(np.float32) * 255)
+    cfg = RAFTConfig.small_config()
+    ref = raft_forward(params, img1, img2, cfg, iters=2)
+    got = raft_forward(params, img1, img2,
+                       dataclasses.replace(cfg,
+                                           corr_impl="pallas_interpret"),
+                       iters=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4, rtol=1e-5)
+
+
 def test_raft_forward_dispatch_falls_back():
     """corr_impl='pallas' on the CPU backend must silently fall back to the
     XLA path (probe fails off-TPU) and produce identical flows."""
