@@ -522,7 +522,10 @@ def pallas_corr_fused_supported(radius: int = 4) -> bool:
             if not fused_supported_shape(shapes, N * h * w, radius):
                 _FUSED_SUPPORTED[radius] = False
                 return False
-            raw = rng.rand(N, h, w, 2) * [3 * w, 3 * h] - w
+            # straddle the maps on BOTH axes: x in [-w, 2w], y in [-h, 2h]
+            # (an offset of -w on y would park every window in the zero
+            # pad and compare zeros against zeros -- caught in review)
+            raw = rng.rand(N, h, w, 2) * [3 * w, 3 * h] - [w, h]
             ok = True
             for coords_np in (np.round(raw), raw):   # exact, then ulp-close
                 coords = jnp.asarray(coords_np.astype(np.float32))

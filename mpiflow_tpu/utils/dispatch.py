@@ -87,9 +87,12 @@ def resolve_corr_impl(requested: str = "pallas", radius: int = 4,
                   f"outside the pallas kernel's tiling)")
         return "xla"
     if pallas_corr_fused_supported(radius):
+        # which pallas kernel actually runs is per-shape: raft_forward
+        # picks fused only when every level width fits one lane row
+        # (fused_supported_shape), else the matmul kernel
         _log_once(("corr", "fused", radius),
-                  f"corr_impl: pallas fused-levels correlation kernel "
-                  f"(radius={radius})")
+                  f"corr_impl: pallas correlation kernels (radius={radius}; "
+                  f"fused where level widths fit a lane row, else matmul)")
         return "pallas"
     if pallas_corr_supported(radius):
         _log_once(("corr", "ok", radius),

@@ -76,8 +76,8 @@ def test_corr_lookup_fused_sharded_matches_xla():
     h, w = 8, 48                             # wl >= the Wn=10 window
     Ppix = h * w
     corr = rng.randn(n, Ppix, h, w, 1).astype(np.float32)
-    coords = (rng.rand(n, 1, h, w, 2) * [3 * w, 3 * h] - w).astype(
-        np.float32)
+    coords = (rng.rand(n, 1, h, w, 2) * [3 * w, 3 * h]
+              - [w, h]).astype(np.float32)
 
     def local(corr_b, coords_b):
         return corr_lookup_fused([corr_b[0]], coords_b[0], radius=4,

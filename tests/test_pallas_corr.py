@@ -76,8 +76,9 @@ def test_fused_forward_matches_xla(radius):
     rng = np.random.RandomState(0)
     N, h, w = 2, 8, 48                      # coarsest wl=12 >= Wn=10
     pyr = _pyramid(rng, N * h * w, h, w)
+    # straddle the maps on both axes (x in [-w,2w], y in [-h,2h])
     coords = jnp.asarray(
-        (rng.rand(N, h, w, 2) * [3 * w, 3 * h] - w).astype(np.float32))
+        (rng.rand(N, h, w, 2) * [3 * w, 3 * h] - [w, h]).astype(np.float32))
     ref = corr_lookup_windowed(pyr, coords, radius)
     got = _fused(pyr, coords, radius)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
@@ -91,7 +92,7 @@ def test_fused_selection_bit_exact_at_integer_coords():
     N, h, w = 1, 8, 48
     pyr = _pyramid(rng, N * h * w, h, w, levels=1)
     coords = jnp.asarray(
-        np.round(rng.rand(N, h, w, 2) * [3 * w, 3 * h] - w).astype(
+        np.round(rng.rand(N, h, w, 2) * [3 * w, 3 * h] - [w, h]).astype(
             np.float32))
     ref = corr_lookup_windowed(pyr, coords, 4)
     got = _fused(pyr, coords, 4)

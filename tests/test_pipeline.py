@@ -162,6 +162,24 @@ def test_generator_multihost_per_host_dirs(tmp_path):
         ["h1_000"] * 2 + ["h1_001"] * 2
 
 
+def test_generator_multihost_rejects_duplicate_names(tmp_path):
+    """Sample keys derive from basenames, so per-host dirs with colliding
+    names must fail fast instead of silently overwriting each other."""
+    import jax
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 virtual devices")
+    bases = []
+    for h in range(2):
+        b = str(tmp_path / f"host{h}")
+        _make_dataset(b, n=1)  # both dirs contain 000.png
+        bases.append(b)
+    out = str(tmp_path / "out")
+    cfg = _small_cfg(out, rng_mode="jax", mesh_data_axis=2,
+                     mesh_host_axis=2)
+    with pytest.raises(ValueError, match="duplicate image name"):
+        DatasetGenerator(cfg).run(bases, out)
+
+
 def test_generator_multihost_rejects_numpy_rng(tmp_path):
     base = str(tmp_path / "base")
     _make_dataset(base, n=1)

@@ -35,7 +35,7 @@ SCALES = {
     # 1/32 scale; cli/train_adampi.py enforces the same constraint)
     "ci": dict(ah=128, aw=256, gh=128, gw=256, planes=8, scenes=4,
                val_scenes=2, repeat=2, adampi_scenes=4, adampi_steps=30,
-               adampi_batch=2, ec_steps=0, raft_steps=30, raft_batch=2,
+               adampi_batch=2, ec_steps=5, raft_steps=30, raft_batch=2,
                small=True, iters=4, eval_iters=6, extend_best=0),
     "product": dict(ah=256, aw=384, gh=384, gw=1280, planes=64, scenes=200,
                     val_scenes=8, repeat=5, adampi_scenes=48,
@@ -169,7 +169,12 @@ def main():
         best = min(results, key=lambda v: results[v]["epe_final"])
         vdir = os.path.join(work, f"loop_{best}")
         ckpt = os.path.join(vdir, "checkpoints", "qloop.npz")
-        argv = ["--work_dir", os.path.join(work, f"extend_{best}"),
+        # SAME work_dir and seed as the 2000-step run: generation resumes
+        # over the already-written pairs (no product-scale regeneration)
+        # and the held-out val poses stay identical, so the extension's
+        # epe_final is comparable against the table rows and its epe_init
+        # must reproduce the restored checkpoint's recorded epe_final
+        argv = ["--work_dir", vdir,
                 "--base", base, "--val_base", val_base,
                 "--width", str(p["gw"]), "--height", str(p["gh"]),
                 "--planes", str(p["planes"]), "--repeat", str(p["repeat"]),
@@ -177,7 +182,7 @@ def main():
                 "--batch_size", str(p["raft_batch"]),
                 "--iters", str(p["iters"]),
                 "--eval_iters", str(p["eval_iters"]),
-                "--seed", str(args.seed + 1),
+                "--seed", str(args.seed),
                 "--restore_ckpt", ckpt]
         if p["small"]:
             argv += ["--small"]
