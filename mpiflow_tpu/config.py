@@ -154,6 +154,12 @@ class RAFTConfig:
     # bf16 convs / f32 flow math (the reference's AMP); off by default so
     # parity tests and eval run pure f32 -- enable for training throughput
     mixed_precision: bool = False
+    # Rematerialize the GRU-iteration scan body under autodiff: the scan
+    # otherwise stashes every iteration's intermediates to HBM for the
+    # backward; at 1.4% MFU the step has FLOP headroom to recompute them
+    # instead. Forward values are unchanged (jax.checkpoint identity);
+    # measure via tools/ablate_train.py before flipping the default.
+    remat_gru: bool = False
 
     @staticmethod
     def small_config() -> "RAFTConfig":

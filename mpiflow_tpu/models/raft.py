@@ -491,6 +491,11 @@ def raft_forward(params: Dict, image1: jnp.ndarray, image2: jnp.ndarray,
             flow_up = upsample_flow_convex(coords1 - coords0, mask)
         return (coords1, net), flow_up
 
+    if getattr(cfg, "remat_gru", False):
+        # recompute the iteration body in the backward instead of stashing
+        # every iteration's intermediates (activation HBM traffic for
+        # recompute FLOPs -- the step runs at ~1.4% MFU, so FLOPs are free)
+        step = jax.checkpoint(step)
     (coords1, net), flow_ups = jax.lax.scan(step, (coords1, net), None,
                                             length=iters)
     if with_low and bn_train:

@@ -150,6 +150,41 @@ def test_fused_runs_inside_raft_forward():
                                atol=1e-4, rtol=1e-5)
 
 
+def test_remat_gru_same_values_and_grads():
+    """RAFTConfig.remat_gru must not change forward flows or gradients
+    (jax.checkpoint is an autodiff-schedule identity)."""
+    import dataclasses
+    from mpiflow_tpu.config import RAFTConfig
+    from mpiflow_tpu.models.raft import raft_forward
+    from mpiflow_tpu.cli.train_raft import init_random_params
+
+    rng = np.random.RandomState(5)
+    params = {k: jnp.asarray(v)
+              for k, v in init_random_params(True, 0).items()}
+    img1 = jnp.asarray(rng.rand(1, 64, 96, 3).astype(np.float32) * 255)
+    img2 = jnp.asarray(rng.rand(1, 64, 96, 3).astype(np.float32) * 255)
+    cfg = RAFTConfig.small_config()
+    cfg_r = dataclasses.replace(cfg, remat_gru=True)
+
+    def loss(cfg):
+        def f(p):
+            return jnp.mean(jnp.abs(raft_forward(p, img1, img2, cfg,
+                                                 iters=3)))
+        return f
+
+    v0, g0 = jax.value_and_grad(loss(cfg))(params)
+    v1, g1 = jax.value_and_grad(loss(cfg_r))(params)
+    np.testing.assert_allclose(float(v0), float(v1), rtol=1e-6)
+    # recompute changes XLA fusion order -> few-ulp differences; tensors
+    # whose whole gradient is ~0 are float noise, so tolerance scales with
+    # the GLOBAL gradient magnitude
+    gscale = max(float(np.abs(np.asarray(v)).max()) for v in g0.values())
+    for k in g0:
+        a, b = np.asarray(g0[k]), np.asarray(g1[k])
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-4 * gscale,
+                                   err_msg=k)
+
+
 def test_raft_forward_dispatch_falls_back():
     """corr_impl='pallas' on the CPU backend must silently fall back to the
     XLA path (probe fails off-TPU) and produce identical flows."""

@@ -78,11 +78,11 @@ def main():
     params = {k: jnp.asarray(v)
               for k, v in init_random_params(args.small, 0).items()}
 
-    def build(corr_impl="pallas", iters=None):
+    def build(corr_impl="pallas", iters=None, remat=False):
         tcfg = TrainConfig(num_steps=1000, batch_size=N,
                            iters=ITERS if iters is None else iters)
         mcfg = dataclasses.replace(base_cfg, mixed_precision=True,
-                                   corr_impl=corr_impl)
+                                   corr_impl=corr_impl, remat_gru=remat)
         tx, _ = make_optimizer(tcfg)
         step = make_train_step(tcfg, mcfg, tx, donate=False)
         opt_state = tx.init(params)
@@ -95,7 +95,8 @@ def main():
     res = {}
 
     for name, kw in (("full_pallas", {}), ("full_xla", {"corr_impl": "xla"}),
-                     ("iters6_pallas", {"iters": max(ITERS // 2, 1)})):
+                     ("iters6_pallas", {"iters": max(ITERS // 2, 1)}),
+                     ("remat_pallas", {"remat": True})):
         ms, sd = timed(build(**kw))
         res[f"{name}_ms"] = round(ms * 1e3, 1)
         res[f"{name}_sd"] = round(sd * 1e3, 1)
