@@ -1,0 +1,61 @@
+#!/usr/bin/env python
+"""Summarize an online-training run into the docs/ONLINE.md results block.
+
+Reads {run_dir}/summary.json and {run_dir}/metrics.jsonl (the "online"
+split records buffer occupancy / generator duty cycle / img-per-sec per
+100-step window) and prints a ready-to-paste markdown section.
+
+  python tools/summarize_online.py runs/online_r4
+"""
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def main():
+    run_dir = sys.argv[1] if len(sys.argv) > 1 else "runs/online_r4"
+    with open(os.path.join(run_dir, "summary.json")) as f:
+        summary = json.load(f)
+    windows = []
+    with open(os.path.join(run_dir, "metrics.jsonl")) as f:
+        for line in f:
+            rec = json.loads(line)
+            if rec.get("split") == "online":
+                windows.append(rec)
+    losses = []
+    with open(os.path.join(run_dir, "metrics.jsonl")) as f:
+        for line in f:
+            rec = json.loads(line)
+            if rec.get("split") == "train" and "loss" in rec:
+                losses.append((rec.get("step", 0), rec["loss"]))
+
+    print(f"Results (run dir `{run_dir}`, summary.json + metrics.jsonl):\n")
+    print("| metric | value |")
+    print("|---|---|")
+    print(f"| steps completed | {summary['steps']} |")
+    print(f"| wall time | {summary['total_wall_s'] / 60:.1f} min |")
+    print(f"| steady-state img/s (2nd-half windows) | "
+          f"{summary['img_per_sec_steady']} |")
+    print(f"| generator duty cycle | {summary['gen_duty_cycle']:.3f} |")
+    print(f"| buffer occupancy min / mean | {summary['buffer_min']} / "
+          f"{summary['buffer_mean']} |")
+    print(f"| starved steps | {summary['starved_steps']} |")
+    if windows:
+        occ = [w["buffer"] for w in windows]
+        rate = [w["img_per_sec"] for w in windows]
+        print(f"| per-window img/s min/median/max | {min(rate):.2f} / "
+              f"{float(np.median(rate)):.2f} / {max(rate):.2f} |")
+        print(f"| buffer occupancy curve (first/mid/last window) | "
+              f"{occ[0]} / {occ[len(occ) // 2]} / {occ[-1]} |")
+    if losses:
+        k = max(len(losses) // 10, 1)
+        first = float(np.mean([l for _, l in losses[:k]]))
+        last = float(np.mean([l for _, l in losses[-k:]]))
+        print(f"| seq loss, first-10% mean -> last-10% mean | "
+              f"{first:.3f} -> {last:.3f} |")
+
+
+if __name__ == "__main__":
+    main()
