@@ -300,7 +300,19 @@ def _fused_fwd_kernel(aux_ref, *refs, shapes, r: int):
         fy = aux_ref[:, 8 * l + 3:8 * l + 4]
         cx = x0 - r + lane
         ok = (cx >= 0) & (cx <= wl - 1) & (lane < Wn)
-        G = jnp.take_along_axis(scr[...], jnp.clip(cx, 0, wl - 1), axis=1)
+        if wl <= LANES:
+            G = jnp.take_along_axis(scr[:, :LANES],
+                                    jnp.clip(cx, 0, wl - 1), axis=1)
+        else:
+            # wide level (LANES < wl <= 2*LANES, e.g. 160 at 384x1280
+            # eval): vreg-local gathers can't cross the lane boundary, so
+            # gather each 128-lane half separately and select by index
+            lo = jnp.take_along_axis(scr[:, :LANES],
+                                     jnp.clip(cx, 0, LANES - 1), axis=1)
+            hi = jnp.take_along_axis(scr[:, LANES:2 * LANES],
+                                     jnp.clip(cx - LANES, 0,
+                                              wl - LANES - 1), axis=1)
+            G = jnp.where(cx < LANES, lo, hi)
         G = jnp.where(ok, G, 0.0)
         # weight the four bilinear taps on the full stack, then assemble
         # each pixel's [K,K] with static slices (A*w00 + B*w01 + C*w10 +
@@ -338,11 +350,18 @@ def _fused_bwd_kernel(aux_ref, *refs, shapes, r: int):
         # columns adjoint: lane x receives dsel[:, x - (x0-r)] when that
         # window column exists and is in bounds (the fwd col_ok mask)
         x0 = aux_ref[:, 8 * l + 1:8 * l + 2].astype(jnp.int32)
-        k = lane - x0 + r
-        valid = (k >= 0) & (k <= Wn - 1)
-        dG = jnp.take_along_axis(scr[...], jnp.clip(k, 0, SLICE - 1),
-                                 axis=1)
-        dG = jnp.where(valid, dG, 0.0)
+
+        def half(lane_off):
+            k = lane + lane_off - x0 + r
+            valid = (k >= 0) & (k <= Wn - 1)
+            d = jnp.take_along_axis(scr[:, :LANES],
+                                    jnp.clip(k, 0, SLICE - 1), axis=1)
+            return jnp.where(valid, d, 0.0)
+
+        if wl <= LANES:
+            dG = half(0)
+        else:
+            dG = jnp.concatenate([half(0), half(LANES)], axis=1)
         for t in range(T_PIX):
             sc = aux_ref[SLICE * t, 8 * l].astype(jnp.int32)
             dcorr_refs[l][t] = jnp.zeros((hl_pad, wl), jnp.float32)
@@ -371,7 +390,7 @@ def _fused_fwd(padded, aux, shapes, r: int, interpret: bool):
                    for _ in shapes],
         out_shape=[jax.ShapeDtypeStruct((P, K, K), jnp.float32)
                    for _ in shapes],
-        scratch_shapes=[pltpu.VMEM((LANES, LANES), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((LANES, 2 * LANES), jnp.float32)],
         interpret=interpret,
     )(aux, *padded)
 
@@ -393,7 +412,7 @@ def _fused_bwd(gs, aux, shapes, r: int, interpret: bool):
                                 lambda i: (i, 0, 0)) for hl, wl in shapes],
         out_shape=[jax.ShapeDtypeStruct((P, hl + pt + pb, wl), jnp.float32)
                    for hl, wl in shapes],
-        scratch_shapes=[pltpu.VMEM((LANES, LANES), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((LANES, 2 * LANES), jnp.float32)],
         interpret=interpret,
     )(aux, *gs)
 
@@ -417,10 +436,11 @@ _fused_lookup.defvjp(_fused_vjp_fwd, _fused_vjp_bwd)
 
 def fused_supported_shape(shapes, P: int, radius: int = 4) -> bool:
     """Static guards: full T_PIX tiles, window fits the SLICE band, every
-    level's map width fits one vreg lane row and holds a whole window."""
+    level's map width fits two vreg lane rows (wide levels use the
+    two-half gather) and holds a whole window."""
     Wn = 2 * radius + 2
     return (P % T_PIX == 0 and Wn <= SLICE
-            and all(wl <= LANES and wl >= Wn for _, wl in shapes))
+            and all(wl <= 2 * LANES and wl >= Wn for _, wl in shapes))
 
 
 def pad_pyramid_fused(pyramid, radius: int):
@@ -513,30 +533,34 @@ def pallas_corr_fused_supported(radius: int = 4) -> bool:
             from mpiflow_tpu.models.raft import (all_pairs_corr_pyramid,
                                                  corr_lookup_windowed)
             rng = np.random.RandomState(0)
-            # w=80 keeps the coarsest level's width >= the Wn=10 window
-            N, h, w, D = 1, 8, 80, 8
-            f1 = jnp.asarray(rng.randn(N, h, w, D).astype(np.float32))
-            f2 = jnp.asarray(rng.randn(N, h, w, D).astype(np.float32))
-            pyr = all_pairs_corr_pyramid(f1, f2, 4)
-            padded, shapes = pad_pyramid_fused(pyr, radius)
-            if not fused_supported_shape(shapes, N * h * w, radius):
-                _FUSED_SUPPORTED[radius] = False
-                return False
-            # straddle the maps on BOTH axes: x in [-w, 2w], y in [-h, 2h]
-            # (an offset of -w on y would park every window in the zero
-            # pad and compare zeros against zeros -- caught in review)
-            raw = rng.rand(N, h, w, 2) * [3 * w, 3 * h] - [w, h]
             ok = True
-            for coords_np in (np.round(raw), raw):   # exact, then ulp-close
-                coords = jnp.asarray(coords_np.astype(np.float32))
-                got = np.asarray(corr_lookup_pallas_fused(
-                    padded, shapes, coords, radius))
-                ref = np.asarray(corr_lookup_windowed(pyr, coords,
-                                                      radius=radius))
-                exact = (got == ref).all()
-                ok = ok and (bool(exact) if coords_np is not raw else
-                             bool(np.allclose(got, ref, rtol=3e-7,
-                                              atol=3e-7)))
+            # w=80: narrow levels (single-gather path); w=160: a wide
+            # level-0 exercising the two-half gather (the 384x1280 eval
+            # shape class). Coarsest widths stay >= the Wn=10 window.
+            for w in (80, 160):
+                N, h, D = 1, 8, 8
+                f1 = jnp.asarray(rng.randn(N, h, w, D).astype(np.float32))
+                f2 = jnp.asarray(rng.randn(N, h, w, D).astype(np.float32))
+                pyr = all_pairs_corr_pyramid(f1, f2, 4)
+                padded, shapes = pad_pyramid_fused(pyr, radius)
+                if not fused_supported_shape(shapes, N * h * w, radius):
+                    _FUSED_SUPPORTED[radius] = False
+                    return False
+                # straddle the maps on BOTH axes: x in [-w, 2w], y in
+                # [-h, 2h] (an offset of -w on y would park every window
+                # in the zero pad and compare zeros to zeros -- review r4)
+                raw = rng.rand(N, h, w, 2) * [3 * w, 3 * h] - [w, h]
+                for coords_np in (np.round(raw), raw):
+                    coords = jnp.asarray(coords_np.astype(np.float32))
+                    got = np.asarray(corr_lookup_pallas_fused(
+                        padded, shapes, coords, radius))
+                    ref = np.asarray(corr_lookup_windowed(pyr, coords,
+                                                          radius=radius))
+                    if coords_np is raw:      # fractional: ulp-close
+                        ok = ok and bool(np.allclose(got, ref, rtol=3e-7,
+                                                     atol=3e-7))
+                    else:                     # integer coords: exact
+                        ok = ok and bool((got == ref).all())
             _FUSED_SUPPORTED[radius] = ok
         except Exception:  # pragma: no cover - environment dependent
             _FUSED_SUPPORTED[radius] = False

@@ -88,11 +88,11 @@ def resolve_corr_impl(requested: str = "pallas", radius: int = 4,
         return "xla"
     if pallas_corr_fused_supported(radius):
         # which pallas kernel actually runs is per-shape: raft_forward
-        # picks fused only when every level width fits one lane row
+        # picks fused only when every level width fits two lane rows
         # (fused_supported_shape), else the matmul kernel
         _log_once(("corr", "fused", radius),
                   f"corr_impl: pallas correlation kernels (radius={radius}; "
-                  f"fused where level widths fit a lane row, else matmul)")
+                  f"fused where level widths fit, else matmul)")
         return "pallas"
     if pallas_corr_supported(radius):
         _log_once(("corr", "ok", radius),

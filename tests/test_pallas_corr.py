@@ -99,6 +99,30 @@ def test_fused_selection_bit_exact_at_integer_coords():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
+def test_fused_wide_level_matches_xla():
+    """Levels wider than one vreg lane row (the 384x1280 eval class: level-0
+    width 160) use the two-half gather; fwd and bwd must match XLA."""
+    rng = np.random.RandomState(2)
+    N, h, w = 1, 8, 160
+    pyr = _pyramid(rng, N * h * w, h, w, levels=2)
+    coords = jnp.asarray(
+        (rng.rand(N, h, w, 2) * [3 * w, 3 * h] - [w, h]).astype(np.float32))
+    ref = corr_lookup_windowed(pyr, coords, 4)
+    got = _fused(pyr, coords, 4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-6, rtol=0)
+    tang = jnp.asarray(rng.randn(*np.asarray(ref).shape).astype(np.float32))
+
+    def loss(fn, p):
+        return jnp.sum(fn(p, coords, 4) * tang)
+
+    g_ref = jax.grad(lambda p: loss(corr_lookup_windowed, p))(pyr)
+    g_got = jax.grad(lambda p: loss(_fused, p))(pyr)
+    for a, b in zip(g_ref, g_got):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=1e-5, rtol=1e-5)
+
+
 def test_fused_backward_matches_xla():
     rng = np.random.RandomState(1)
     N, h, w = 1, 8, 48
@@ -121,8 +145,9 @@ def test_fused_shape_guard():
     from mpiflow_tpu.ops.pallas_corr import fused_supported_shape
     good = ((36, 120), (18, 60), (9, 30), (4, 15))
     assert fused_supported_shape(good, 17280, 4)
+    assert fused_supported_shape(((48, 160),), 17280, 4)   # wide level OK
     assert not fused_supported_shape(good, 17281, 4)       # tile misfit
-    assert not fused_supported_shape(((36, 200),), 17280, 4)  # wl > lanes
+    assert not fused_supported_shape(((36, 300),), 17280, 4)  # > 2 lanes
     assert not fused_supported_shape(((36, 8),), 17280, 4)    # wl < window
 
 
