@@ -102,33 +102,40 @@ def main():
     if p["ec_steps"] > 0 and "adampi_trained" in args.variants:
         from mpiflow_tpu.cli.train_edgeconnect import main as ec_main
         ec_ckpt = os.path.join(work, "ec", "ec.npz")
-        s, dt = timed_main("edgeconnect", ec_main, [
-            "--width", str(p["aw"]), "--height", str(p["ah"]),
-            "--synth_images", str(p["adampi_scenes"]),
-            "--num_steps", str(p["ec_steps"]), "--batch_size",
-            str(p["adampi_batch"]), "--seed", str(args.seed),
-            "--ckpt_out", ec_ckpt, "--run_dir", os.path.join(work, "ec")])
-        record("edgeconnect", {"seconds": dt, "ckpt": ec_ckpt,
-                               "summary": s})
+        if os.path.exists(ec_ckpt):
+            record("edgeconnect", {"resumed": True, "ckpt": ec_ckpt})
+        else:
+            s, dt = timed_main("edgeconnect", ec_main, [
+                "--width", str(p["aw"]), "--height", str(p["ah"]),
+                "--synth_images", str(p["adampi_scenes"]),
+                "--num_steps", str(p["ec_steps"]), "--batch_size",
+                str(p["adampi_batch"]), "--seed", str(args.seed),
+                "--ckpt_out", ec_ckpt,
+                "--run_dir", os.path.join(work, "ec")])
+            record("edgeconnect", {"seconds": dt, "ckpt": ec_ckpt,
+                                   "summary": s})
 
     # ---- 2. AdaMPI training on warpback stage-2 pairs -------------------
     adampi_ckpt = None
     if "adampi_trained" in args.variants:
         from mpiflow_tpu.cli.train_adampi import main as adampi_main
         adir = os.path.join(work, "adampi")
-        argv = ["--work_dir", adir, "--width", str(p["aw"]),
-                "--height", str(p["ah"]), "--planes", str(p["planes"]),
-                "--num_images", str(p["adampi_scenes"]),
-                "--num_steps", str(p["adampi_steps"]),
-                "--batch_size", str(p["adampi_batch"]),
-                "--seed", str(args.seed)]
-        argv += (["--ec_ckpt", ec_ckpt] if ec_ckpt
-                 else ["--inpainter", "diffusion"])
-        _, dt = timed_main("adampi", adampi_main, argv)
         adampi_ckpt = os.path.join(adir, "checkpoints",
                                    f"{p['adampi_steps']}_adampi.npz")
-        assert os.path.exists(adampi_ckpt), adampi_ckpt
-        record("adampi", {"seconds": dt, "ckpt": adampi_ckpt})
+        if os.path.exists(adampi_ckpt):   # resume: stage already done
+            record("adampi", {"resumed": True, "ckpt": adampi_ckpt})
+        else:
+            argv = ["--work_dir", adir, "--width", str(p["aw"]),
+                    "--height", str(p["ah"]), "--planes", str(p["planes"]),
+                    "--num_images", str(p["adampi_scenes"]),
+                    "--num_steps", str(p["adampi_steps"]),
+                    "--batch_size", str(p["adampi_batch"]),
+                    "--seed", str(args.seed)]
+            argv += (["--ec_ckpt", ec_ckpt] if ec_ckpt
+                     else ["--inpainter", "diffusion"])
+            _, dt = timed_main("adampi", adampi_main, argv)
+            assert os.path.exists(adampi_ckpt), adampi_ckpt
+            record("adampi", {"seconds": dt, "ckpt": adampi_ckpt})
 
     # ---- 3. shared generation bases (paired across variants) ------------
     from mpiflow_tpu.cli.quality_loop import main as qloop_main, \
