@@ -254,7 +254,11 @@ def _pads_for(r: int):
     windows entirely inside the zero pad (exactly the all-masked case of
     the XLA path); sc = y0-r+PT then spans [PT-2r-2, hl+1+PT]."""
     pt = 2 * r + 2
-    pb = SLICE + 1
+    # bottom pad covers the 8-aligned band read: the kernel loads SLICE+8
+    # rows starting at align8(sc) <= sc (Mosaic requires dynamic sublane
+    # starts provably 8-aligned; the residual offset is applied with a
+    # dynamic pltpu.roll), so the worst read row is sc + SLICE + 7
+    pb = SLICE + 8 + 1
     return pt, pb
 
 
@@ -293,8 +297,13 @@ def _fused_fwd_kernel(aux_ref, *refs, shapes, r: int):
     for l, (hl, wl) in enumerate(shapes):
         for t in range(T_PIX):
             sc = aux_ref[SLICE * t, 8 * l].astype(jnp.int32)
-            scr[SLICE * t:SLICE * (t + 1), :wl] = \
-                corr_refs[l][t, pl.dslice(sc, SLICE), :]
+            # Mosaic only lowers dynamic sublane starts it can prove
+            # 8-aligned: load the aligned SLICE+8 band and rotate the
+            # residual (roll shift must be dynamic-non-negative)
+            al = pl.multiple_of((sc // 8) * 8, 8)
+            band = corr_refs[l][t, pl.dslice(al, SLICE + 8), :]
+            band = pltpu.roll(band, SLICE + 8 - (sc - al), axis=0)
+            scr[SLICE * t:SLICE * (t + 1), :wl] = band[:SLICE, :]
         x0 = aux_ref[:, 8 * l + 1:8 * l + 2].astype(jnp.int32)  # [128,1]
         fx = aux_ref[:, 8 * l + 2:8 * l + 3]
         fy = aux_ref[:, 8 * l + 3:8 * l + 4]
@@ -364,9 +373,15 @@ def _fused_bwd_kernel(aux_ref, *refs, shapes, r: int):
             dG = jnp.concatenate([half(0), half(LANES)], axis=1)
         for t in range(T_PIX):
             sc = aux_ref[SLICE * t, 8 * l].astype(jnp.int32)
+            # adjoint of the aligned-band read: place the SLICE gradient
+            # rows at offset (sc - al) inside a SLICE+8 band, store the
+            # band at the provably-8-aligned start
+            al = pl.multiple_of((sc // 8) * 8, 8)
+            dband = jnp.pad(dG[SLICE * t:SLICE * (t + 1), :wl],
+                            ((0, 8), (0, 0)))
+            dband = pltpu.roll(dband, sc - al, axis=0)
             dcorr_refs[l][t] = jnp.zeros((hl_pad, wl), jnp.float32)
-            dcorr_refs[l][t, pl.dslice(sc, SLICE), :] = \
-                dG[SLICE * t:SLICE * (t + 1), :wl]
+            dcorr_refs[l][t, pl.dslice(al, SLICE + 8), :] = dband
 
 
 def _fused_shapes(padded, r: int):
