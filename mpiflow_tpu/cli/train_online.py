@@ -54,6 +54,10 @@ def build_parser():
     p.add_argument("--val_freq", type=int, default=5000,
                    help="checkpoint every N steps (long online runs should "
                         "survive a host OOM-kill)")
+    p.add_argument("--remat_gru", action="store_true",
+                   help="recompute GRU-scan activations in backward instead "
+                        "of stashing all iterations (fits batch 6 in one "
+                        "v5e chip's 16G HBM)")
     p.add_argument("--run_dir", default=None,
                    help="metrics sink (metrics.jsonl records loss/epe AND "
                         "buffer occupancy + generator duty cycle per "
@@ -147,6 +151,9 @@ def main(argv=None) -> int:
         wdecay=args.wdecay, gamma=args.gamma, seed=args.seed,
         val_freq=args.val_freq)
     model_cfg = RAFTConfig.small_config() if args.small else RAFTConfig()
+    if args.remat_gru:
+        import dataclasses
+        model_cfg = dataclasses.replace(model_cfg, remat_gru=True)
     trainer = Trainer(train_cfg, model_cfg)
 
     if args.restore_ckpt:

@@ -10,5 +10,5 @@ exec timeout 21600 python -m mpiflow_tpu.cli.train_online \
   --base data/online_base --width 1280 --height 384 --planes 64 \
   --predictor adampi_random --flavor kitti_v2 --repeat 5 \
   --num_steps 2000 --batch_size 6 --image_size 288 960 --iters 12 \
-  --buffer 600 --gen_every 4 --val_freq 500 --name online_r4 \
+  --buffer 600 --gen_every 4 --val_freq 500 --remat_gru --name online_r4 \
   --checkpoint_dir runs/online_r4/ckpt --run_dir runs/online_r4 "$@"
