@@ -213,14 +213,31 @@ def main(argv=None) -> int:
             win_steps = 0
         if state.step % train_cfg.val_freq == 0:
             trainer.save(state, args.checkpoint_dir)
+            # crash-survivable evidence: a killed/OOM'd run still leaves a
+            # summary alongside its periodic checkpoint (round-3's first
+            # attempt died at ~step 1500 recording nothing)
+            _write_summary(run_dir, state.step, time.time() - t_start,
+                           gen_s, window_rates, occupancies, starved,
+                           partial=True)
     trainer.save(state, args.checkpoint_dir, final=True)
     logger.close()
     data_iter.close()
+    summary = _write_summary(run_dir, state.step, time.time() - t_start,
+                             gen_s, window_rates, occupancies, starved,
+                             partial=False)
+    print(json.dumps(summary))
+    return 0
+
+
+def _write_summary(run_dir, step, total_s, gen_s, window_rates,
+                   occupancies, starved, partial):
+    import json
+    import os
     import numpy as _np
-    total_s = time.time() - t_start
     steady = window_rates[len(window_rates) // 2:] or window_rates
     summary = {
-        "steps": int(state.step),
+        "steps": int(step),
+        "partial": bool(partial),
         "img_per_sec_steady": round(float(_np.mean(steady)), 3)
         if steady else None,
         "gen_duty_cycle": round(gen_s / max(total_s, 1e-9), 4),
@@ -232,8 +249,7 @@ def main(argv=None) -> int:
     }
     with open(os.path.join(run_dir, "summary.json"), "w") as f:
         json.dump(summary, f)
-    print(json.dumps(summary))
-    return 0
+    return summary
 
 
 if __name__ == "__main__":
