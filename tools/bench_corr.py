@@ -83,9 +83,13 @@ def main():
         f = jax.jit(chain(fn, prep))
         res[f"lookup12_fwd_ms_{name}"] = round(
             timed(f, fmap1, fmap2, coords0) * 1e3, 3)
+        print(f"lookup12_fwd_ms_{name}: "
+              f"{res[f'lookup12_fwd_ms_{name}']}", flush=True)
         g = jax.jit(jax.grad(chain(fn, prep), argnums=(0, 1)))
         res[f"lookup12_fwdbwd_ms_{name}"] = round(
             timed(g, fmap1, fmap2, coords0) * 1e3, 3)
+        print(f"lookup12_fwdbwd_ms_{name}: "
+              f"{res[f'lookup12_fwdbwd_ms_{name}']}", flush=True)
 
     # full train step
     import dataclasses
@@ -124,6 +128,8 @@ def main():
             return m["loss"]
         res[f"train_step_ms_{name}"] = round(
             timed(run, params, opt_state, n=3) * 1e3, 1)
+        print(f"train_step_ms_{name}: {res[f'train_step_ms_{name}']}",
+              flush=True)
 
     print(json.dumps(res))
 
