@@ -187,23 +187,30 @@ class SparseFlowAugmentor(FlowAugmentor):
 
     @staticmethod
     def resize_sparse_flow_map(flow, valid, fx, fy):
-        ht, wd = flow.shape[:2]
-        coords = np.stack(np.meshgrid(np.arange(wd), np.arange(ht)), -1)
-        coords = coords.reshape(-1, 2).astype(np.float32)
-        flow_f = flow.reshape(-1, 2).astype(np.float32)
-        valid_f = valid.reshape(-1) >= 1
-        coords0, flow0 = coords[valid_f], flow_f[valid_f]
-        ht1, wd1 = int(round(ht * fy)), int(round(wd * fx))
-        coords1 = coords0 * [fx, fy]
-        flow1 = flow0 * [fx, fy]
-        xx = np.round(coords1[:, 0]).astype(np.int32)
-        yy = np.round(coords1[:, 1]).astype(np.int32)
-        v = (xx > 0) & (xx < wd1) & (yy > 0) & (yy < ht1)
-        flow_img = np.zeros([ht1, wd1, 2], np.float32)
-        valid_img = np.zeros([ht1, wd1], np.int32)
-        flow_img[yy[v], xx[v]] = flow1[v]
-        valid_img[yy[v], xx[v]] = 1
-        return flow_img, valid_img
+        """Rescale a sparse flow field by point splatting.
+
+        Bilinear resampling would blend valid with invalid pixels, so a
+        sparse (KITTI-style) field is rescaled vector-wise instead: each
+        valid pixel's coordinate and flow vector are scaled, snapped to
+        the nearest output pixel, and splatted onto an empty canvas.
+        Collisions resolve last-writer-wins in row-major source order
+        and output pixels on the row-0/col-0 border stay invalid, both
+        matching the reference splat
+        (RAFT/core/utils/augmentor.py:161-194).
+        """
+        h_out = int(round(flow.shape[0] * fy))
+        w_out = int(round(flow.shape[1] * fx))
+        src_y, src_x = np.nonzero(np.asarray(valid) >= 1)
+        vec = flow[src_y, src_x].astype(np.float32) * np.array([fx, fy])
+        out_x = np.round(src_x.astype(np.float32) * fx).astype(np.int32)
+        out_y = np.round(src_y.astype(np.float32) * fy).astype(np.int32)
+        keep = ((out_x > 0) & (out_x < w_out) &
+                (out_y > 0) & (out_y < h_out))
+        flow_out = np.zeros((h_out, w_out, 2), np.float32)
+        valid_out = np.zeros((h_out, w_out), np.int32)
+        flow_out[out_y[keep], out_x[keep]] = vec[keep]
+        valid_out[out_y[keep], out_x[keep]] = 1
+        return flow_out, valid_out
 
     def spatial_transform(self, img1, img2, flow, valid):
         ht, wd = img1.shape[:2]

@@ -276,3 +276,56 @@ def test_metrics_logger_jsonl(tmp_path):
     assert "img_per_sec" in lines[0]
     assert lines[1] == {"step": 2, "split": "val", "kitti-epe": 3.25}
     assert msgs  # printed too
+
+
+# ------------------------------------------------- sparse flow splat resize
+def test_resize_sparse_flow_map_splat_semantics():
+    """The sparse resize must splat (not interpolate): scaled vectors land
+    on rounded output pixels, collisions resolve last-writer-wins in
+    row-major source order, and the row-0/col-0 output border stays
+    invalid (RAFT/core/utils/augmentor.py:161-194 semantics)."""
+    from mpiflow_tpu.data.augmentor import SparseFlowAugmentor
+
+    rng = np.random.RandomState(7)
+    h, w = 23, 31
+    flow = rng.randn(h, w, 2).astype(np.float32) * 10
+    valid = (rng.rand(h, w) > 0.6).astype(np.float32)
+    fx, fy = 0.37, 0.61  # shrink hard enough to force collisions
+    got_f, got_v = SparseFlowAugmentor.resize_sparse_flow_map(
+        flow, valid, fx, fy)
+
+    h1, w1 = int(round(h * fy)), int(round(w * fx))
+    want_f = np.zeros((h1, w1, 2), np.float32)
+    want_v = np.zeros((h1, w1), np.int32)
+    n_cand = n_kept = 0
+    for y in range(h):          # row-major: later rows overwrite earlier
+        for x in range(w):
+            if valid[y, x] < 1:
+                continue
+            n_cand += 1
+            xo = int(np.round(x * fx))
+            yo = int(np.round(y * fy))
+            if 0 < xo < w1 and 0 < yo < h1:
+                n_kept += 1
+                want_f[yo, xo] = [flow[y, x, 0] * fx, flow[y, x, 1] * fy]
+                want_v[yo, xo] = 1
+    assert n_kept < n_cand < h * w  # the case exercises both filters
+    assert got_v.shape == (h1, w1) and got_f.shape == (h1, w1, 2)
+    assert np.array_equal(got_v, want_v)
+    assert np.allclose(got_f, want_f, atol=1e-5)
+    assert got_v[0, :].max() == 0 and got_v[:, 0].max() == 0
+
+
+def test_resize_sparse_flow_map_upscale_keeps_all_interior():
+    """Upscaling maps distinct sources to distinct outputs: every valid
+    interior pixel must survive with its vector scaled exactly."""
+    from mpiflow_tpu.data.augmentor import SparseFlowAugmentor
+
+    flow = np.zeros((8, 8, 2), np.float32)
+    valid = np.zeros((8, 8), np.float32)
+    flow[3, 4] = [2.0, -3.0]
+    valid[3, 4] = 1
+    got_f, got_v = SparseFlowAugmentor.resize_sparse_flow_map(
+        flow, valid, 2.0, 2.0)
+    assert got_v.sum() == 1 and got_v[6, 8] == 1
+    assert np.allclose(got_f[6, 8], [4.0, -6.0])
