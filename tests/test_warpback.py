@@ -218,3 +218,62 @@ def test_batched_synthesizer_matches_per_item():
                                    np.asarray(sr[0]), atol=1e-4)
         np.testing.assert_allclose(np.asarray(out["src_disp"][i]),
                                    np.asarray(sd[0]), atol=1e-4)
+
+
+# --------------------------------------------------- rasterizer oracle gate
+def _smooth_scene(h=48, w=64):
+    yy, xx = np.mgrid[0:h, 0:w]
+    rgb = np.stack([0.5 + 0.4 * np.sin(xx / 9.0),
+                    0.5 + 0.4 * np.cos(yy / 7.0),
+                    0.5 + 0.3 * np.sin((xx + yy) / 11.0)], 0)
+    disp = 0.25 + 0.1 * np.sin(xx / 15.0) * np.cos(yy / 13.0)
+    disp[15:30, 25:45] += 0.35
+    return rgb.astype(np.float64), disp.astype(np.float64)
+
+
+def test_raster_oracle_identity_is_exact():
+    """The oracle itself: with an identity pose every pixel center
+    coincides with a mesh vertex, so the barycentric render must return
+    the input attributes exactly (float tolerance). Validates the oracle's
+    NDC/projection math against the construct_mesh unprojection."""
+    from tests.raster_oracle import rasterize_rgbd_reference
+    rgb, disp = _smooth_scene()
+    render, out_disp, mask = rasterize_rgbd_reference(
+        rgb, disp, np.asarray(K_NORM), np.eye(4))
+    inside = mask > 0.99
+    assert inside.mean() > 0.8            # vis mask trims blob edges only
+    assert np.abs(render - rgb)[:, inside].max() < 1e-9
+    # output disparity is 1/(z+1e-4) of z=1/(disp+1e-4): eps-squared error
+    assert np.abs(out_disp - disp)[inside].max() < 2e-4
+
+
+@pytest.mark.parametrize("ext", [
+    np.eye(4),
+    np.array([[1, 0, 0, 0.08], [0, 1, 0, -0.05],
+              [0, 0, 1, 0.06], [0, 0, 0, 1.0]]),
+])
+def test_rgbd_render_matches_raster_oracle(ext):
+    """PARITY gate for the supersampled-splat renderer vs the reference
+    rasterizer semantics (warpback/utils.py:19-119), tolerances as stated
+    in docs/PARITY.md: coverage IoU > 0.99; on mutually-valid pixels
+    (both masks > 0.7) mean |rgb| < 0.02 with p95 < 0.05 and mean
+    relative disparity error < 0.02. Measured headroom is ~3-5x (mean
+    rgb 0.003-0.007 at supersample=4 on this scene)."""
+    from tests.raster_oracle import rasterize_rgbd_reference
+    rgb, disp = _smooth_scene()
+    r_o, d_o, m_o = rasterize_rgbd_reference(
+        rgb, disp, np.asarray(K_NORM), ext)
+    r_j, d_j, m_j = [np.asarray(x) for x in rgbd_render(
+        jnp.asarray(rgb, jnp.float32), jnp.asarray(disp, jnp.float32),
+        jnp.asarray(K_NORM, jnp.float32), jnp.asarray(ext, jnp.float32),
+        supersample=4)]
+    iou = (((m_o > 0.5) & (m_j > 0.5)).sum()
+           / max(1, ((m_o > 0.5) | (m_j > 0.5)).sum()))
+    assert iou > 0.99, iou
+    both = (m_o > 0.7) & (m_j > 0.7)
+    assert both.mean() > 0.5
+    rgb_err = np.abs(r_o - r_j)[:, both]
+    assert rgb_err.mean() < 0.02, rgb_err.mean()
+    assert np.percentile(rgb_err, 95) < 0.05
+    d_rel = (np.abs(d_o - d_j) / np.maximum(d_o, 1e-3))[both]
+    assert d_rel.mean() < 0.02, d_rel.mean()
