@@ -449,11 +449,14 @@ def raft_forward(params: Dict, image1: jnp.ndarray, image2: jnp.ndarray,
                           and (interp
                                or pallas_corr_supported(cfg.corr_radius)))
         if use_fused:
-            # pad once, OUTSIDE the GRU scan: the padded maps become scan
+            # pad once, OUTSIDE the GRU scan: the padded maps (forward
+            # reads) and unpadded maps (gradient carrier) become scan
             # constants and the 12 per-iteration lookups reuse them
-            padded, lvl_shapes = pad_pyramid_fused(pyramid, cfg.corr_radius)
+            padded, pyr_f, lvl_shapes = pad_pyramid_fused(pyramid,
+                                                          cfg.corr_radius)
             lookup = functools.partial(corr_lookup_pallas_fused, padded,
-                                       lvl_shapes, radius=cfg.corr_radius,
+                                       pyr_f, lvl_shapes,
+                                       radius=cfg.corr_radius,
                                        interpret=interp)
         elif use_pallas:
             lookup = functools.partial(corr_lookup_pallas, pyramid,

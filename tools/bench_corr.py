@@ -70,8 +70,9 @@ def main():
     def fused_prep(pyr):
         from mpiflow_tpu.ops.pallas_corr import (corr_lookup_pallas_fused,
                                                  pad_pyramid_fused)
-        padded, shapes = pad_pyramid_fused(pyr, 4)
-        return lambda c: corr_lookup_pallas_fused(padded, shapes, c, 4)
+        padded, unpad, shapes = pad_pyramid_fused(pyr, 4)
+        return lambda c: corr_lookup_pallas_fused(padded, unpad, shapes,
+                                                  c, 4)
 
     for name, fn, prep in (("xla", corr_lookup_windowed, None),
                            ("pallas", corr_lookup_pallas, None),
