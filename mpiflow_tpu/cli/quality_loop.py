@@ -42,6 +42,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "(default: synthesize procedural scenes)")
     p.add_argument("--val_base", default=None,
                    help="existing base set for held-out validation")
+    p.add_argument("--val_pairs", default=None,
+                   help="existing generated val pairs dir; skips val "
+                        "generation so every variant in a multi-variant "
+                        "sweep is scored on the SAME held-out pairs "
+                        "(tools/full_loop.py) instead of pairs rendered "
+                        "by its own predictor")
     p.add_argument("--num_images", type=int, default=8,
                    help="synthesized training scenes (ignored with --base)")
     p.add_argument("--val_images", type=int, default=2,
@@ -145,20 +151,25 @@ def main(argv=None) -> int:
     if args.base is None:
         synthesize_base(base, args.num_images, args.height, args.width,
                         args.seed)
-    if args.val_base is None:
+    if args.val_base is None and args.val_pairs is None:
         synthesize_base(val_base, args.val_images, args.height, args.width,
                         args.seed + 90001)
 
     # -- 2. generate train + held-out val pairs --------------------------
     train_out = os.path.join(work, "pairs_train")
-    val_out = os.path.join(work, "pairs_val")
     stats_t = generate_pairs(base, train_out, args, args.seed)
     if args.gen_only:
         print(json.dumps({"gen_only": True, "predictor": args.predictor,
                           "width": args.width, "height": args.height,
                           "planes": args.planes, **stats_t}))
         return 0
-    stats_v = generate_pairs(val_base, val_out, args, args.seed + 1)
+    if args.val_pairs:
+        val_out = args.val_pairs
+        n_val = len(os.listdir(os.path.join(val_out, "flows")))
+        stats_v = {"samples": n_val}
+    else:
+        val_out = os.path.join(work, "pairs_val")
+        stats_v = generate_pairs(val_base, val_out, args, args.seed + 1)
     logging.info("generated: train=%s val=%s", stats_t, stats_v)
 
     # -- 3. train RAFT ---------------------------------------------------

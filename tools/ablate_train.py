@@ -45,6 +45,8 @@ def timed(fn, n=3, trials=3):
 
 def main():
     import argparse
+    import logging
+    logging.basicConfig(level=logging.INFO)   # surface dispatch decisions
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--height", type=int, default=288)

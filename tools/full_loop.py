@@ -138,8 +138,8 @@ def main():
             record("adampi", {"seconds": dt, "ckpt": adampi_ckpt})
 
     # ---- 3. shared generation bases (paired across variants) ------------
-    from mpiflow_tpu.cli.quality_loop import main as qloop_main, \
-        synthesize_base
+    from mpiflow_tpu.cli.quality_loop import build_parser as qloop_parser, \
+        generate_pairs, main as qloop_main, synthesize_base
     base = os.path.join(work, "base")
     val_base = os.path.join(work, "base_val")
     if not os.path.isdir(base):
@@ -148,11 +148,35 @@ def main():
         synthesize_base(val_base, p["val_scenes"], p["gh"], p["gw"],
                         args.seed + 90001)
 
+    # ---- 3b. ONE common held-out val set, shared by every variant -------
+    # Rendered with the deterministic geometric predictor so the table's
+    # per-variant EPE is measured on the SAME pairs; per-variant val pairs
+    # would grade each RAFT model on its own predictor's distribution
+    # (the reference's analog is a fixed external benchmark,
+    # README.md:94-105 evaluates every dataset variant on KITTI GT).
+    val_pairs = os.path.join(work, "pairs_val_common")
+    if not os.path.isdir(os.path.join(val_pairs, "flows")):
+        vargs = qloop_parser().parse_args(
+            ["--work_dir", work, "--width", str(p["gw"]),
+             "--height", str(p["gh"]), "--planes", str(p["planes"]),
+             "--repeat", str(p["repeat"]), "--predictor", "geometric"])
+        stats = generate_pairs(val_base, val_pairs, vargs, args.seed + 1)
+        record("val_common", {"pairs": stats.get("samples", 0), **stats})
+    else:
+        record("val_common", {"resumed": True})
+
+    # the reference RAFT recipe's training crop (RAFT/train_standard.sh:
+    # --image_size 288 960); also the config whose HBM fit + step time are
+    # pinned by logs/bench_corr.log (the default 7/8 crop of 384x1280 is
+    # 336x1120, within 10% of the round-4 OOM shape)
+    crop = ["--crop", "288", "960"] if args.scale == "product" else []
+
     # ---- 4. generate + train RAFT + eval, per predictor variant ---------
     results = {}
     for variant in args.variants:
         vdir = os.path.join(work, f"loop_{variant}")
-        argv = ["--work_dir", vdir, "--base", base, "--val_base", val_base,
+        argv = crop + ["--work_dir", vdir, "--base", base,
+                "--val_pairs", val_pairs,
                 "--width", str(p["gw"]), "--height", str(p["gh"]),
                 "--planes", str(p["planes"]), "--repeat", str(p["repeat"]),
                 "--num_steps", str(p["raft_steps"]),
@@ -181,8 +205,8 @@ def main():
         # and the held-out val poses stay identical, so the extension's
         # epe_final is comparable against the table rows and its epe_init
         # must reproduce the restored checkpoint's recorded epe_final
-        argv = ["--work_dir", vdir,
-                "--base", base, "--val_base", val_base,
+        argv = crop + ["--work_dir", vdir,
+                "--base", base, "--val_pairs", val_pairs,
                 "--width", str(p["gw"]), "--height", str(p["gh"]),
                 "--planes", str(p["planes"]), "--repeat", str(p["repeat"]),
                 "--num_steps", str(p["extend_best"]),
