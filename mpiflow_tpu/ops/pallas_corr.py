@@ -518,100 +518,162 @@ def corr_lookup_fused(pyramid, coords: jnp.ndarray, radius: int,
 _SUPPORTED = {}
 
 
-def pallas_corr_supported(radius: int = 4) -> bool:
+def _eval_outside_trace(fn):
+    """Run ``fn`` with a CLEAN trace state and return its result.
+
+    raft_forward's dispatch can reach a probe at TRACE time (when no eager
+    caller resolved it first), and inside a jit trace every jnp op stages
+    into the caller's graph -- np.asarray on the staged result raises
+    TracerArrayConversionError, the probe's except clause caches False, and
+    the whole run silently falls back to XLA (found round 5: ablate_train
+    measured "pallas" == xla at 719 ms while bench_corr, which probes
+    eagerly at import, got the kernel at 492 ms). JAX's dynamic trace is
+    THREAD-LOCAL, so a fresh thread evaluates eagerly regardless of the
+    caller's trace. (jax.ensure_compile_time_eval is NOT usable here: it
+    leaks into pallas_call's own kernel tracing, forcing kernel-internal
+    iotas/index math concrete, which pallas rejects as captured
+    constants.)"""
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(1) as ex:
+        return ex.submit(fn).result()
+
+
+def pallas_corr_supported(radius: int = 4, interpret: bool = False) -> bool:
     """Probe once per radius: compile+run a tiny lookup at the CONFIGURED
     radius and compare with the XLA reference path (some remote Mosaic
     services reject parts of Pallas; a probe at a different radius would
-    not exercise the same window tiling)."""
-    if radius not in _SUPPORTED:
+    not exercise the same window tiling).
+
+    Trace-safe via _eval_outside_trace. `interpret` runs the kernel via
+    the Pallas interpreter (CPU regression tests of exactly this hazard)."""
+    key = (radius, interpret)
+    if key not in _SUPPORTED:
         try:
             if not supported_shape(T_PIX, radius):
-                _SUPPORTED[radius] = False
+                _SUPPORTED[key] = False
                 return False
             from mpiflow_tpu.models.raft import corr_lookup_windowed
-            rng = np.random.RandomState(0)
-            N, h, w = 1, 8, 16
-            P = N * h * w
-            corr = jnp.asarray(rng.randn(P, h, w, 1).astype(np.float32))
-            coords = jnp.asarray(
-                (rng.rand(N, h, w, 2) * [w - 1, h - 1]).astype(np.float32))
-            got = corr_lookup_pallas([corr], coords, radius=radius)
-            ref = corr_lookup_windowed([corr], coords, radius=radius)
-            # bit-exact on hardware (one-hot selection + HIGHEST-precision
-            # dots + identical bilinear expression)
-            _SUPPORTED[radius] = bool(
-                (np.asarray(got) == np.asarray(ref)).all())
+
+            def _probe():
+                rng = np.random.RandomState(0)
+                N, h, w = 1, 8, 16
+                P = N * h * w
+                corr = jnp.asarray(rng.randn(P, h, w, 1).astype(np.float32))
+                coords = jnp.asarray(
+                    (rng.rand(N, h, w, 2) * [w - 1, h - 1])
+                    .astype(np.float32))
+                got = np.asarray(corr_lookup_pallas(
+                    [corr], coords, radius=radius, interpret=interpret))
+                ref = np.asarray(
+                    corr_lookup_windowed([corr], coords, radius=radius))
+                if interpret:
+                    # the CPU interpreter contracts the bilinear FMAs
+                    # differently from both Mosaic and XLA:CPU: ulp-close
+                    return bool(np.allclose(got, ref, rtol=3e-7, atol=3e-7))
+                # bit-exact on hardware (one-hot selection + HIGHEST-
+                # precision dots + identical bilinear expression)
+                return bool((got == ref).all())
+
+            _SUPPORTED[key] = _eval_outside_trace(_probe)
         except Exception:  # pragma: no cover - environment dependent
-            _SUPPORTED[radius] = False
-    return _SUPPORTED[radius]
+            import logging
+            logging.getLogger(__name__).info(
+                "pallas corr probe (radius=%d) failed; using XLA lookup",
+                radius, exc_info=True)
+            _SUPPORTED[key] = False
+    return _SUPPORTED[key]
 
 
 _FUSED_SUPPORTED = {}
 
 
-def pallas_corr_fused_supported(radius: int = 4) -> bool:
+def pallas_corr_fused_supported(radius: int = 4,
+                                interpret: bool = False) -> bool:
     """Probe the fused kernel once per radius: compile+run a tiny 4-level
     lookup (coords inside, outside, and straddling the maps). Window
     SELECTION must be bit-exact (asserted with integer coords, where the
     bilinear weights are exactly 0/1); fractional coords must agree within
     a few ulp -- the 4-tap bilinear FMA contraction is a compiler choice
     that can round differently between the two graphs (measured 1-2 ulp),
-    unlike the matmul kernel whose combine XLA happens to fuse identically."""
+    unlike the matmul kernel whose combine XLA happens to fuse identically.
+
+    Trace-safe via _eval_outside_trace (see there: a probe first reached at
+    trace time used to stage its ops into the caller's graph, crash on
+    np.asarray, and cache False -> silent XLA fallback)."""
     import os
     if os.environ.get("MPIFLOW_CORR_NO_FUSED"):
         return False        # benchmarking escape: force the matmul kernel
-    if radius not in _FUSED_SUPPORTED:
+    key = (radius, interpret)
+    if key not in _FUSED_SUPPORTED:
         try:
             from mpiflow_tpu.models.raft import (all_pairs_corr_pyramid,
                                                  corr_lookup_windowed)
-            rng = np.random.RandomState(0)
-            ok = True
-            # w=80: narrow levels (single-gather path); w=160: a wide
-            # level-0 exercising the two-half gather (the 384x1280 eval
-            # shape class). Coarsest widths stay >= the Wn=10 window.
-            for w in (80, 160):
-                N, h, D = 1, 8, 8
-                f1 = jnp.asarray(rng.randn(N, h, w, D).astype(np.float32))
-                f2 = jnp.asarray(rng.randn(N, h, w, D).astype(np.float32))
-                pyr = all_pairs_corr_pyramid(f1, f2, 4)
-                padded, unpad, shapes = pad_pyramid_fused(pyr, radius)
-                if not fused_supported_shape(shapes, N * h * w, radius):
-                    _FUSED_SUPPORTED[radius] = False
-                    return False
-                # straddle the maps on BOTH axes: x in [-w, 2w], y in
-                # [-h, 2h] (an offset of -w on y would park every window
-                # in the zero pad and compare zeros to zeros -- review r4)
-                raw = rng.rand(N, h, w, 2) * [3 * w, 3 * h] - [w, h]
-                for coords_np in (np.round(raw), raw):
-                    coords = jnp.asarray(coords_np.astype(np.float32))
-                    got = np.asarray(corr_lookup_pallas_fused(
-                        padded, unpad, shapes, coords, radius))
-                    ref = np.asarray(corr_lookup_windowed(pyr, coords,
-                                                          radius=radius))
-                    if coords_np is raw:      # fractional: ulp-close
-                        ok = ok and bool(np.allclose(got, ref, rtol=3e-7,
-                                                     atol=3e-7))
-                    else:                     # integer coords: exact
-                        ok = ok and bool((got == ref).all())
-                # backward probe: the placement-matmul adjoint must match
-                # the XLA path's pyramid gradients (training uses this)
-                tang = jnp.asarray(
-                    rng.randn(N, h, w, 4 * (2 * radius + 1) ** 2)
-                    .astype(np.float32))
-                coords = jnp.asarray(raw.astype(np.float32))
 
-                def _loss(fn, p):
-                    return jnp.sum(fn(p, coords, radius) * tang)
+            def _probe():
+                rng = np.random.RandomState(0)
+                ok = True
+                # w=80: narrow levels (single-gather path); w=160: a wide
+                # level-0 exercising the two-half gather (the 384x1280 eval
+                # shape class). Coarsest widths stay >= the Wn=10 window.
+                for w in (80, 160):
+                    N, h, D = 1, 8, 8
+                    f1 = jnp.asarray(
+                        rng.randn(N, h, w, D).astype(np.float32))
+                    f2 = jnp.asarray(
+                        rng.randn(N, h, w, D).astype(np.float32))
+                    pyr = all_pairs_corr_pyramid(f1, f2, 4)
+                    padded, unpad, shapes = pad_pyramid_fused(pyr, radius)
+                    if not fused_supported_shape(shapes, N * h * w, radius):
+                        return False
+                    # straddle the maps on BOTH axes: x in [-w, 2w], y in
+                    # [-h, 2h] (an offset of -w on y would park every
+                    # window in the zero pad and compare zeros to zeros --
+                    # review r4)
+                    raw = rng.rand(N, h, w, 2) * [3 * w, 3 * h] - [w, h]
+                    for coords_np in (np.round(raw), raw):
+                        coords = jnp.asarray(coords_np.astype(np.float32))
+                        got = np.asarray(corr_lookup_pallas_fused(
+                            padded, unpad, shapes, coords, radius,
+                            interpret=interpret))
+                        ref = np.asarray(corr_lookup_windowed(
+                            pyr, coords, radius=radius))
+                        if coords_np is raw or interpret:
+                            # fractional coords: ulp-close (FMA contraction
+                            # is a compiler choice); the interpreter also
+                            # rounds integer-weight taps differently
+                            ok = ok and bool(np.allclose(got, ref,
+                                                         rtol=3e-7,
+                                                         atol=3e-7))
+                        else:                     # integer coords: exact
+                            ok = ok and bool((got == ref).all())
+                    # backward probe: the placement-matmul adjoint must
+                    # match the XLA path's pyramid gradients
+                    tang = jnp.asarray(
+                        rng.randn(N, h, w, 4 * (2 * radius + 1) ** 2)
+                        .astype(np.float32))
+                    coords = jnp.asarray(raw.astype(np.float32))
 
-                g_ref = jax.grad(
-                    lambda p: _loss(corr_lookup_windowed, p))(pyr)
-                g_got = jax.grad(
-                    lambda p: _loss(corr_lookup_fused, p))(pyr)
-                for a, b in zip(g_ref, g_got):
-                    ok = ok and bool(np.allclose(np.asarray(b),
-                                                 np.asarray(a),
-                                                 rtol=3e-6, atol=3e-6))
-            _FUSED_SUPPORTED[radius] = ok
+                    def _loss_ref(p):
+                        return jnp.sum(
+                            corr_lookup_windowed(p, coords, radius) * tang)
+
+                    def _loss_fused(p):
+                        return jnp.sum(corr_lookup_fused(
+                            p, coords, radius, interpret=interpret) * tang)
+
+                    g_ref = jax.grad(_loss_ref)(pyr)
+                    g_got = jax.grad(_loss_fused)(pyr)
+                    for a, b in zip(g_ref, g_got):
+                        ok = ok and bool(np.allclose(np.asarray(b),
+                                                     np.asarray(a),
+                                                     rtol=3e-6, atol=3e-6))
+                return ok
+
+            _FUSED_SUPPORTED[key] = _eval_outside_trace(_probe)
         except Exception:  # pragma: no cover - environment dependent
-            _FUSED_SUPPORTED[radius] = False
-    return _FUSED_SUPPORTED[radius]
+            import logging
+            logging.getLogger(__name__).info(
+                "fused pallas corr probe (radius=%d) failed; falling back",
+                radius, exc_info=True)
+            _FUSED_SUPPORTED[key] = False
+    return _FUSED_SUPPORTED[key]

@@ -128,6 +128,18 @@ def make_train_step(cfg: TrainConfig, model_cfg: RAFTConfig, tx,
     """
     bn_train = not cfg.freeze_bn
 
+    # Resolve the corr dispatch EAGERLY, before jit traces raft_forward.
+    # The kernel probes are trace-safe (they evaluate on a clean-trace
+    # thread), but resolving here warms their per-radius cache up front
+    # and surfaces the dispatch decision in logs before the first step
+    # compiles, instead of silently inside it.
+    if model_cfg.corr_impl == "pallas" and not model_cfg.alternate_corr:
+        import dataclasses as _dc
+
+        from mpiflow_tpu.utils.dispatch import resolve_corr_impl
+        model_cfg = _dc.replace(model_cfg, corr_impl=resolve_corr_impl(
+            "pallas", model_cfg.corr_radius))
+
     def loss_fn(params, img1, img2, flow, valid):
         if bn_train:
             preds, bn_stats = raft_forward(params, img1, img2, model_cfg,

@@ -228,3 +228,35 @@ def test_raft_forward_dispatch_falls_back():
     got = raft_forward(params, img1, img2,
                        dataclasses.replace(cfg, corr_impl="pallas"), iters=2)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+
+
+def test_probes_are_trace_safe():
+    """The kernel probes must return the same verdict when first reached at
+    TRACE time as when called eagerly. Round-5 regression: inside a jit
+    trace the probe's jnp ops staged into the caller's graph, np.asarray
+    raised TracerArrayConversionError, the except cached False, and every
+    training run whose first probe call happened inside make_train_step's
+    trace silently fell back to the XLA lookup (ablate_train measured
+    'pallas' == xla at 719 ms while bench_corr, probing eagerly, got the
+    kernel at 492 ms on the same shapes)."""
+    from mpiflow_tpu.ops import pallas_corr as pc
+
+    for cache in (pc._SUPPORTED, pc._FUSED_SUPPORTED):
+        cache.pop((4, True), None)
+
+    verdict = {}
+
+    def traced(x):
+        verdict["fused"] = pc.pallas_corr_fused_supported(4, interpret=True)
+        verdict["matmul"] = pc.pallas_corr_supported(4, interpret=True)
+        return x * 2.0
+
+    jax.jit(traced)(jnp.ones((4, 4)))
+    assert verdict["fused"] is True, verdict
+    assert verdict["matmul"] is True, verdict
+
+    # eager verdict agrees (cache already warm here, so also re-probe cold)
+    for cache in (pc._SUPPORTED, pc._FUSED_SUPPORTED):
+        cache.pop((4, True), None)
+    assert pc.pallas_corr_fused_supported(4, interpret=True) is True
+    assert pc.pallas_corr_supported(4, interpret=True) is True
