@@ -102,8 +102,29 @@ def feat_mask_network(params: Dict, rgb: jnp.ndarray, disp: jnp.ndarray,
         return conv_bn_act(x, p, f"conv{i}.layer.0", f"conv{i}.layer.1",
                            relu, stride=stride, padding=1)
 
-    def unet(x):                                                  # [b,H,W,5]
-        c1 = cbr(x, 1)
+    # conv1 factored over planes: its input is [rgbd | dval*ones] where
+    # only the LAST channel varies across planes and is spatially constant
+    # within a plane, so conv1(x_s) = conv(rgbd; w[:,:,:4]) +
+    # dval_s * conv(ones; w[:,:,4:]). Both convs run ONCE at [1,H,W,*]
+    # instead of S times at [S,H,W,5] (the reference tiles the full-res
+    # input x S before conv1, unet.py:42-55 -- the pipeline's biggest
+    # materialization); the ones-map conv reproduces the zero-padding
+    # border truncation of the constant channel exactly.
+    w1 = p["conv1.layer.0.weight"]
+    conv1_base = conv2d(rgbd, w1[:, :, :4, :], p["conv1.layer.0.bias"],
+                        padding=1)                            # [1,H,W,16]
+    conv1_dmap = conv2d(jnp.ones((1, H, W, 1), rgbd.dtype), w1[:, :, 4:, :],
+                        padding=1)                            # [1,H,W,16]
+
+    def conv1_planes(dvals):                                  # [k] -> [k,H,W,16]
+        y = conv1_base + dvals[:, None, None, None] * conv1_dmap
+        y = batch_norm(y, p["conv1.layer.1.running_mean"],
+                       p["conv1.layer.1.running_var"],
+                       p.get("conv1.layer.1.weight"),
+                       p.get("conv1.layer.1.bias"))
+        return relu(y)
+
+    def unet(c1):                                             # [b,H,W,16]
         c2 = cbr(c1, 2, stride=2)
         c3 = cbr(c2, 3, stride=2)
         c4 = cbr(c3, 4, stride=2)
@@ -116,29 +137,34 @@ def feat_mask_network(params: Dict, rgb: jnp.ndarray, disp: jnp.ndarray,
         c8 = cbr(jnp.concatenate([u7, c1], -1), 8)
         return cbr(c8, 9)                                         # [b,H,W,1]
 
-    def plane_input(dvals):                                       # [k]
-        x = jnp.broadcast_to(rgbd, (dvals.shape[0], H, W, 4))
-        dchan = jnp.broadcast_to(dvals[:, None, None, None],
-                                 (dvals.shape[0], H, W, 1))
-        return jnp.concatenate([x, dchan], axis=-1)
-
     if plane_chunk and plane_chunk < S:
         assert S % plane_chunk == 0, (S, plane_chunk)
         chunks = disparities.reshape(S // plane_chunk, plane_chunk)
-        c9 = jax.lax.map(lambda d: unet(plane_input(d)), chunks)
+        # conv1_base/dmap are closed over: computed once, reused per chunk
+        c9 = jax.lax.map(lambda d: unet(conv1_planes(d)), chunks)
         c9 = c9.reshape(S, H, W, 1)
     else:
-        c9 = unet(plane_input(disparities))
+        c9 = unet(conv1_planes(disparities))
     return jax.nn.softmax(c9[..., 0], axis=0)                     # over planes
 
 
 # ----------------------------------------------------------- CPN decoder
 def _gated_conv(x, p: P):
-    """GatedConv (decoder.py:23-37): reflection pad + conv * sigmoid(mask)."""
+    """GatedConv (decoder.py:23-37): reflection pad + conv * sigmoid(mask).
+
+    The feature and mask convs share the same padded input, so their
+    kernels are concatenated along the output-channel axis and run as ONE
+    conv: the input is read from HBM once instead of twice, and the
+    doubled output width fills more of the MXU's 128 output lanes (the
+    decoder's channel counts are 12-192). Per-output-channel dots are
+    unchanged, so the results are identical to the two-conv form."""
     x = reflection_pad(x, 1)
-    f = conv2d(x, p["conv2d.weight"], p["conv2d.bias"])
-    m = conv2d(x, p["mask_conv2d.weight"], p["mask_conv2d.bias"])
-    return f * jax.nn.sigmoid(m)
+    co = p["conv2d.weight"].shape[-1]
+    w = jnp.concatenate([p["conv2d.weight"], p["mask_conv2d.weight"]],
+                        axis=-1)
+    b = jnp.concatenate([p["conv2d.bias"], p["mask_conv2d.bias"]])
+    fm = conv2d(x, w, b)
+    return fm[..., :co] * jax.nn.sigmoid(fm[..., co:])
 
 
 def _gated_conv_block(x, p: P):
