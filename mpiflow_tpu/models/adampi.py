@@ -102,27 +102,17 @@ def feat_mask_network(params: Dict, rgb: jnp.ndarray, disp: jnp.ndarray,
         return conv_bn_act(x, p, f"conv{i}.layer.0", f"conv{i}.layer.1",
                            relu, stride=stride, padding=1)
 
-    # conv1 factored over planes: its input is [rgbd | dval*ones] where
-    # only the LAST channel varies across planes and is spatially constant
-    # within a plane, so conv1(x_s) = conv(rgbd; w[:,:,:4]) +
-    # dval_s * conv(ones; w[:,:,4:]). Both convs run ONCE at [1,H,W,*]
-    # instead of S times at [S,H,W,5] (the reference tiles the full-res
-    # input x S before conv1, unet.py:42-55 -- the pipeline's biggest
-    # materialization); the ones-map conv reproduces the zero-padding
-    # border truncation of the constant channel exactly.
-    w1 = p["conv1.layer.0.weight"]
-    conv1_base = conv2d(rgbd, w1[:, :, :4, :], p["conv1.layer.0.bias"],
-                        padding=1)                            # [1,H,W,16]
-    conv1_dmap = conv2d(jnp.ones((1, H, W, 1), rgbd.dtype), w1[:, :, 4:, :],
-                        padding=1)                            # [1,H,W,16]
-
+    # conv1 runs per plane on [k,H,W,5] = [rgbd | dval*ones]. An algebraic
+    # factoring (conv1(x_s) = conv(rgbd) + dval_s*conv(ones), each run once)
+    # was measured SLOWER on v5e (logs/bench_adampi_ab.log: 341.0 ms vs
+    # 317.4 baseline) -- XLA already hoists the broadcast and fuses conv1
+    # into the x-S batch, while the factored form adds an unfused
+    # elementwise pass over the [S,H,W,16] output. Keep the direct form.
     def conv1_planes(dvals):                                  # [k] -> [k,H,W,16]
-        y = conv1_base + dvals[:, None, None, None] * conv1_dmap
-        y = batch_norm(y, p["conv1.layer.1.running_mean"],
-                       p["conv1.layer.1.running_var"],
-                       p.get("conv1.layer.1.weight"),
-                       p.get("conv1.layer.1.bias"))
-        return relu(y)
+        x = jnp.broadcast_to(rgbd, (dvals.shape[0], H, W, 4))
+        dchan = jnp.broadcast_to(dvals[:, None, None, None],
+                                 (dvals.shape[0], H, W, 1))
+        return cbr(jnp.concatenate([x, dchan], axis=-1), 1)
 
     def unet(c1):                                             # [b,H,W,16]
         c2 = cbr(c1, 2, stride=2)
@@ -152,19 +142,15 @@ def feat_mask_network(params: Dict, rgb: jnp.ndarray, disp: jnp.ndarray,
 def _gated_conv(x, p: P):
     """GatedConv (decoder.py:23-37): reflection pad + conv * sigmoid(mask).
 
-    The feature and mask convs share the same padded input, so their
-    kernels are concatenated along the output-channel axis and run as ONE
-    conv: the input is read from HBM once instead of twice, and the
-    doubled output width fills more of the MXU's 128 output lanes (the
-    decoder's channel counts are 12-192). Per-output-channel dots are
-    unchanged, so the results are identical to the two-conv form."""
+    Two separate convs on the shared padded input. Fusing them into one
+    conv (kernels concatenated along output channels, then split) was
+    measured SLOWER on v5e (logs/bench_adampi_ab.log: 323.6 ms vs 317.4
+    baseline) -- the post-conv channel split lands on non-lane-aligned
+    boundaries and blocks XLA's conv+elementwise fusion. Keep two convs."""
     x = reflection_pad(x, 1)
-    co = p["conv2d.weight"].shape[-1]
-    w = jnp.concatenate([p["conv2d.weight"], p["mask_conv2d.weight"]],
-                        axis=-1)
-    b = jnp.concatenate([p["conv2d.bias"], p["mask_conv2d.bias"]])
-    fm = conv2d(x, w, b)
-    return fm[..., :co] * jax.nn.sigmoid(fm[..., co:])
+    f = conv2d(x, p["conv2d.weight"], p["conv2d.bias"])
+    m = conv2d(x, p["mask_conv2d.weight"], p["mask_conv2d.bias"])
+    return f * jax.nn.sigmoid(m)
 
 
 def _gated_conv_block(x, p: P):
