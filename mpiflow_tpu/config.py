@@ -194,3 +194,9 @@ class TrainConfig:
     # freeze_bn=False runs BN in train mode (batch stats + momentum-updated
     # running buffers) -- required for from-scratch chairs training.
     freeze_bn: bool = True
+    # Compute the sequence loss in block layout ([N,h,w,64,2] predictions,
+    # ground truth space-to-depth'd once) instead of depth-to-spacing all
+    # `iters` predictions to pixel layout fwd+bwd. Same per-pixel loss
+    # terms; layout-only. Measure via tools/ablate_train.py / bench_upsample
+    # before flipping the default. Ignored for RAFT-small (bilinear up).
+    block_up: bool = False

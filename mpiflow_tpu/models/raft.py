@@ -349,6 +349,47 @@ def upsample_flow_convex(flow: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     return up.reshape(N, 8 * h, 8 * w, 2)
 
 
+def upsample_flow_convex_block(flow: jnp.ndarray,
+                               mask: jnp.ndarray) -> jnp.ndarray:
+    """Convex upsampling kept in BLOCK layout: [N,h,w,2],[N,h,w,576]
+    -> [N,h,w,64,2], where channel q = 8*a+b is subpixel (a,b) of input
+    pixel (y,x). Equals pixel_to_block(upsample_flow_convex(flow, mask)).
+
+    Training computes the sequence loss from 12 such predictions; keeping
+    them in block layout skips the depth-to-space relayout of a full-res
+    tensor 12x forward + 12x backward per step (the loss instead converts
+    the ground truth ONCE, gradient-free). The loss is a sum of identical
+    per-pixel terms either way. The reference cannot make this choice:
+    torch's unfold-based upsample (raft.py:72-83) materializes pixel
+    layout by construction."""
+    N, h, w, _ = flow.shape
+    m = jax.nn.softmax(mask.reshape(N, h, w, 9, 64), axis=3)
+    fp = jnp.pad(8.0 * flow, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    nbrs = jnp.stack([fp[:, dy:dy + h, dx:dx + w] for dy in range(3)
+                      for dx in range(3)], axis=3)          # [N,h,w,9,2]
+    return jnp.einsum("nhwkq,nhwkc->nhwqc", m, nbrs, precision=_HI)
+
+
+def pixel_to_block(x: jnp.ndarray) -> jnp.ndarray:
+    """[N,8h,8w,*rest] -> [N,h,w,64,*rest]: inverse of block_to_pixel.
+    Used on ground-truth flow/valid so the loss matches block-layout
+    predictions; also accepts channel-free [N,8h,8w] (valid masks)."""
+    N, H, W = x.shape[:3]
+    rest = x.shape[3:]
+    y = x.reshape((N, H // 8, 8, W // 8, 8) + rest)
+    y = jnp.moveaxis(y, 2, 3)                    # [N,h,w,8,8,*rest]
+    return y.reshape((N, H // 8, W // 8, 64) + rest)
+
+
+def block_to_pixel(x: jnp.ndarray) -> jnp.ndarray:
+    """[N,h,w,64,*rest] -> [N,8h,8w,*rest]."""
+    N, h, w = x.shape[:3]
+    rest = x.shape[4:]
+    y = x.reshape((N, h, w, 8, 8) + rest)
+    y = jnp.moveaxis(y, 3, 2)                    # [N,h,8,w,8,*rest]
+    return y.reshape((N, 8 * h, 8 * w) + rest)
+
+
 def upsample_flow_bilinear(flow: jnp.ndarray) -> jnp.ndarray:
     """upflow8 (RAFT/core/utils/utils.py:80-82): 8 * bilinear align_corners."""
     from mpiflow_tpu.models.nn import upsample_bilinear_align_corners
@@ -361,10 +402,13 @@ def raft_forward(params: Dict, image1: jnp.ndarray, image2: jnp.ndarray,
                  cfg: RAFTConfig = RAFTConfig(), iters: int = 12,
                  flow_init: Optional[jnp.ndarray] = None,
                  compute_dtype=jnp.float32, with_low: bool = False,
-                 bn_train: bool = False):
+                 bn_train: bool = False, block_up: bool = False):
     """RAFT.forward (raft.py:86-144). images [N,H,W,3] in [0,255].
 
     Returns flow predictions [iters,N,H,W,2] (full resolution).
+    With `block_up` (training-only layout optimization), predictions stay
+    in block layout [iters,N,h,w,64,2] = pixel_to_block of the above;
+    requires the convex-upsample (non-small) model.
     With `with_low`, returns (flow_ups, flow_low) where flow_low is the
     final 1/8-res coords1-coords0 (raft.py:139-142 test_mode tuple).
     With `bn_train`, the context encoder's batch norms use batch statistics
@@ -373,6 +417,9 @@ def raft_forward(params: Dict, image1: jnp.ndarray, image2: jnp.ndarray,
     freezes BN for stages other than chairs (RAFT/train.py:146-148), so
     from-scratch chairs training must run with bn_train=True.
     """
+    if block_up and cfg.small:
+        raise ValueError("block_up requires the convex-upsample model "
+                         "(RAFT-small upsamples bilinearly)")
     N, H, W, _ = image1.shape
     h, w = H // 8, W // 8
     min_dim = 8 * 2 ** (cfg.corr_levels - 1)
@@ -490,6 +537,8 @@ def raft_forward(params: Dict, image1: jnp.ndarray, image2: jnp.ndarray,
         coords1 = coords1 + dflow
         if mask is None:
             flow_up = upsample_flow_bilinear(coords1 - coords0)
+        elif block_up:
+            flow_up = upsample_flow_convex_block(coords1 - coords0, mask)
         else:
             flow_up = upsample_flow_convex(coords1 - coords0, mask)
         return (coords1, net), flow_up

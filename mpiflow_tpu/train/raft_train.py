@@ -34,7 +34,10 @@ def sequence_loss(flow_preds: jnp.ndarray, flow_gt: jnp.ndarray,
     """Reference sequence_loss (RAFT/train.py:47-72), NHWC.
 
     flow_preds [iters,N,H,W,2]; flow_gt [N,H,W,2]; valid [N,H,W].
-    Returns (loss, metrics dict).
+    Layout-agnostic: every reduction is pixelwise, so block-layout inputs
+    (preds [iters,N,h,w,64,2], gt [N,h,w,64,2], valid [N,h,w,64] -- see
+    models/raft.pixel_to_block) give the same loss and metrics up to fp
+    reassociation. Returns (loss, metrics dict).
     """
     n = flow_preds.shape[0]
     mag = jnp.sqrt((flow_gt ** 2).sum(-1))
@@ -42,8 +45,8 @@ def sequence_loss(flow_preds: jnp.ndarray, flow_gt: jnp.ndarray,
     vmask = valid[..., None].astype(flow_preds.dtype)
 
     weights = gamma ** (n - 1 - jnp.arange(n, dtype=flow_preds.dtype))
-    abs_err = jnp.abs(flow_preds - flow_gt[None])          # [it,N,H,W,2]
-    per_iter = (vmask[None] * abs_err).mean(axis=(1, 2, 3, 4))
+    abs_err = jnp.abs(flow_preds - flow_gt[None])          # [it,N,...,2]
+    per_iter = (vmask[None] * abs_err).reshape(n, -1).mean(axis=1)
     loss = (weights * per_iter).sum()
 
     epe = jnp.sqrt(((flow_preds[-1] - flow_gt) ** 2).sum(-1))
@@ -140,14 +143,24 @@ def make_train_step(cfg: TrainConfig, model_cfg: RAFTConfig, tx,
         model_cfg = _dc.replace(model_cfg, corr_impl=resolve_corr_impl(
             "pallas", model_cfg.corr_radius))
 
+    # Block-layout loss (see models/raft.upsample_flow_convex_block): the
+    # 12 predictions skip their depth-to-space relayouts; instead the
+    # ground truth converts once, outside the gradient.
+    block = getattr(cfg, "block_up", False) and not model_cfg.small
+
     def loss_fn(params, img1, img2, flow, valid):
         if bn_train:
             preds, bn_stats = raft_forward(params, img1, img2, model_cfg,
-                                           iters=cfg.iters, bn_train=True)
+                                           iters=cfg.iters, bn_train=True,
+                                           block_up=block)
         else:
             preds = raft_forward(params, img1, img2, model_cfg,
-                                 iters=cfg.iters)
+                                 iters=cfg.iters, block_up=block)
             bn_stats = {}
+        if block:
+            from mpiflow_tpu.models.raft import pixel_to_block
+            flow = jax.lax.stop_gradient(pixel_to_block(flow))
+            valid = pixel_to_block(valid)
         loss, metrics = sequence_loss(preds, flow, valid, cfg.gamma,
                                       cfg.max_flow)
         return loss, (metrics, bn_stats)

@@ -93,6 +93,48 @@ def test_train_step_improves_loss():
     assert np.isfinite(losses).all()
 
 
+def test_block_up_loss_matches_pixel_layout():
+    """block_up keeps predictions in [N,h,w,64,2]; the loss over them with
+    a space-to-depth'd ground truth must equal the pixel-layout loss, and
+    so must its parameter gradients (layout-only rewrite)."""
+    import jax
+    from mpiflow_tpu.cli.train_raft import init_random_params
+    from mpiflow_tpu.models.raft import (block_to_pixel, pixel_to_block,
+                                         raft_forward)
+    model_cfg = RAFTConfig()
+    params = {k: jnp.asarray(v)
+              for k, v in init_random_params(small=False, seed=0).items()}
+    rng = np.random.RandomState(1)
+    img1 = jnp.asarray(rng.rand(1, 64, 96, 3).astype(np.float32) * 255)
+    img2 = jnp.asarray(rng.rand(1, 64, 96, 3).astype(np.float32) * 255)
+    flow = jnp.asarray(rng.randn(1, 64, 96, 2).astype(np.float32) * 3)
+    valid = jnp.asarray((rng.rand(1, 64, 96) > 0.1).astype(np.float32))
+
+    def loss_pix(p):
+        preds = raft_forward(p, img1, img2, model_cfg, iters=2)
+        return sequence_loss(preds, flow, valid)[0]
+
+    def loss_blk(p):
+        preds = raft_forward(p, img1, img2, model_cfg, iters=2,
+                             block_up=True)
+        return sequence_loss(preds, pixel_to_block(flow),
+                             pixel_to_block(valid))[0]
+
+    # prediction layouts are exact transposes of each other
+    pix = raft_forward(params, img1, img2, model_cfg, iters=2)
+    blk = raft_forward(params, img1, img2, model_cfg, iters=2,
+                       block_up=True)
+    np.testing.assert_allclose(np.asarray(jax.vmap(block_to_pixel)(blk)),
+                               np.asarray(pix), rtol=0, atol=1e-5)
+
+    lp, gp = jax.value_and_grad(loss_pix)(params)
+    lb, gb = jax.value_and_grad(loss_blk)(params)
+    assert float(lp) == pytest.approx(float(lb), rel=1e-5)
+    for k in gp:
+        np.testing.assert_allclose(np.asarray(gb[k]), np.asarray(gp[k]),
+                                   rtol=1e-4, atol=1e-6, err_msg=k)
+
+
 def test_dp_train_step_on_mesh():
     """The full training step jits and runs sharded over the 8-device mesh
     (the multi-chip path the driver dry-runs)."""

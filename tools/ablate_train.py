@@ -80,9 +80,10 @@ def main():
     params = {k: jnp.asarray(v)
               for k, v in init_random_params(args.small, 0).items()}
 
-    def build(corr_impl="pallas", iters=None, remat=False):
+    def build(corr_impl="pallas", iters=None, remat=False, block_up=False):
         tcfg = TrainConfig(num_steps=1000, batch_size=N,
-                           iters=ITERS if iters is None else iters)
+                           iters=ITERS if iters is None else iters,
+                           block_up=block_up)
         mcfg = dataclasses.replace(base_cfg, mixed_precision=True,
                                    corr_impl=corr_impl, remat_gru=remat)
         tx, _ = make_optimizer(tcfg)
@@ -96,9 +97,12 @@ def main():
 
     res = {}
 
-    for name, kw in (("full_pallas", {}), ("full_xla", {"corr_impl": "xla"}),
-                     ("iters6_pallas", {"iters": max(ITERS // 2, 1)}),
-                     ("remat_pallas", {"remat": True})):
+    variants = [("full_pallas", {}), ("full_xla", {"corr_impl": "xla"}),
+                ("iters6_pallas", {"iters": max(ITERS // 2, 1)}),
+                ("remat_pallas", {"remat": True})]
+    if not args.small:   # block-layout sequence loss (TrainConfig.block_up)
+        variants.append(("block_up_pallas", {"block_up": True}))
+    for name, kw in variants:
         ms, sd = timed(build(**kw))
         res[f"{name}_ms"] = round(ms * 1e3, 1)
         res[f"{name}_sd"] = round(sd * 1e3, 1)
