@@ -188,7 +188,7 @@ def main(argv=None) -> int:
                       lr=args.lr, num_steps=args.num_steps,
                       batch_size=args.batch_size, image_size=crop,
                       iters=args.iters, gamma=0.8, seed=args.seed,
-                      freeze_bn=False)
+                      freeze_bn=False, val_freq=min(500, args.num_steps))
     model_cfg = RAFTConfig.small_config() if args.small else RAFTConfig()
 
     if args.restore_ckpt:
@@ -196,8 +196,25 @@ def main(argv=None) -> int:
     else:
         params = init_random_params(args.small, args.seed)
 
-    ev0 = validate_mpiflow(params, val_out, model_cfg, iters=args.eval_iters,
-                           limit=args.eval_limit)
+    # crash resume: a full train state (params + optimizer + step) is
+    # checkpointed every val_freq steps under an orbax dir keyed by
+    # num_steps (the best-variant extension reuses this work_dir with a
+    # different horizon and must not collide with the base run's states)
+    orbax_dir = os.path.join(work, f"orbax_{args.num_steps}")
+    resume_step = Trainer.latest_orbax_step(orbax_dir)
+
+    # epe_init belongs to the ORIGINAL initialization; persist it so a
+    # resumed run reports the same row instead of re-grading the restored
+    # params as "init"
+    ev0_path = os.path.join(work, f"eval_init_{args.num_steps}.json")
+    if resume_step and os.path.exists(ev0_path):
+        with open(ev0_path) as fh:
+            ev0 = json.load(fh)
+    else:
+        ev0 = validate_mpiflow(params, val_out, model_cfg,
+                               iters=args.eval_iters, limit=args.eval_limit)
+        with open(ev0_path, "w") as fh:
+            json.dump({k: float(v) for k, v in ev0.items()}, fh)
 
     dataset = fetch_dataset("mpi-flow", train_out, crop, seed=args.seed)
     data_iter = make_train_iterator(dataset, args.batch_size, seed=args.seed,
@@ -213,8 +230,14 @@ def main(argv=None) -> int:
     trainer = Trainer(cfg, model_cfg, mesh=mesh, run_dir=run_dir)
     trainer.sum_freq = min(trainer.sum_freq, max(args.num_steps // 4, 1))
     state = trainer.init_state(params)
+    if resume_step:
+        state = trainer.restore_orbax(orbax_dir, resume_step, like=state)
+        logging.info("resumed exact train state (params + optimizer) at "
+                     "step %d from %s", state.step, orbax_dir)
     state = trainer.run(state, data_iter,
-                        checkpoint_dir=os.path.join(work, "checkpoints"))
+                        num_steps=args.num_steps - state.step,
+                        checkpoint_dir=os.path.join(work, "checkpoints"),
+                        orbax_dir=orbax_dir)
 
     ev1 = validate_mpiflow(state.params, val_out, model_cfg,
                            iters=args.eval_iters, limit=args.eval_limit)

@@ -65,6 +65,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--restore_ckpt", default=None,
                    help=".pth or .npz AdaMPI checkpoint to fine-tune")
     p.add_argument("--ckpt_every", type=int, default=500)
+    p.add_argument("--start_step", type=int, default=0,
+                   help="resume step counter (with --restore_ckpt on a "
+                        "periodic checkpoint): trains num_steps-start_step "
+                        "more steps, checkpoint names stay absolute. The "
+                        "optimizer and data RNG restart, like the "
+                        "reference's --restore_ckpt behavior")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--data_parallel", type=int, default=0,
                    help="shard the batch over an n-device mesh (0 = all)")
@@ -198,7 +204,7 @@ def main(argv=None) -> int:
         save_converted(flat, os.path.join(ckpt_dir, f"{step}_adampi.npz"),
                        num_planes=cfg.num_planes)
 
-    for i in range(args.num_steps):
+    for i in range(args.start_step, args.num_steps):
         idx = rng.randint(0, rgb_all.shape[0], size=args.batch_size)
         # forward pose warps the original to the novel view; its inverse is
         # the warp-back render pose (WarpbackStage2 cam_ext semantics)

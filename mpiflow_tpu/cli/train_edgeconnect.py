@@ -38,6 +38,12 @@ def build_parser():
     p.add_argument("--ckpt_out", default="checkpoints/ec_trained.npz")
     p.add_argument("--run_dir", default="runs/edgeconnect")
     p.add_argument("--log_every", type=int, default=50)
+    p.add_argument("--pool_per_scene", type=int, default=4,
+                   help="pre-render this many stage-1 triples per scene "
+                        "once and cycle them shuffled (0 = render a fresh "
+                        "pose every sample; with the dual rgbd_render per "
+                        "triple that costs ~0.8s/item of renderer dispatch "
+                        "per step, 30x the train step itself)")
     return p
 
 
@@ -85,29 +91,67 @@ def main(argv=None) -> int:
     if len(ds) == 0:
         raise SystemExit(f"no images under {data_root}")
 
-    def batches():
-        """Cycle stage-1 triples into [B,...] device batches."""
-        idx = 0
-        while True:
-            rgbs, disps, masks = [], [], []
-            for _ in range(args.batch_size):
-                item = ds[idx % len(ds)]
-                idx += 1
-                rgbs.append(item["rgb"])
-                disps.append(item["disp"])
-                # fractional visibility -> the binary hole mask the
-                # inference chain uses (inpaint_rgbd_batch's 0.5 cut)
-                masks.append((item["mask"] > 0.5).astype(np.float32))
-            yield (jnp.asarray(np.stack(rgbs)),
-                   jnp.asarray(np.stack(disps)),
-                   jnp.asarray(np.stack(masks)))
+    def fetch(idx):
+        item = ds[idx % len(ds)]
+        # fractional visibility -> the binary hole mask the
+        # inference chain uses (inpaint_rgbd_batch's 0.5 cut)
+        return (item["rgb"], item["disp"],
+                (item["mask"] > 0.5).astype(np.float32))
+
+    if args.pool_per_scene > 0:
+        # Pre-render the whole triple pool once (each scene under
+        # pool_per_scene independent warpback poses), then cycle it
+        # shuffled. Built lazily on first use, shared by all three model
+        # trainings below; the epoch-style reuse matches how EdgeConnect
+        # itself trains on a fixed dataset.
+        pool = []
+
+        def batches():
+            if not pool:
+                import time as _time
+                t0 = _time.time()
+                pool.extend(fetch(i) for _ in range(args.pool_per_scene)
+                            for i in range(len(ds)))
+                logging.info("pre-rendered %d stage-1 triples in %.1fs",
+                             len(pool), _time.time() - t0)
+            order = np.random.RandomState(
+                args.seed + 7).permutation(len(pool))
+            j = 0
+            while True:
+                sel = [pool[order[(j + k) % len(pool)]]
+                       for k in range(args.batch_size)]
+                j += args.batch_size
+                yield tuple(jnp.asarray(np.stack(xs)) for xs in zip(*sel))
+    else:
+        def batches():
+            """Cycle stage-1 triples into [B,...] device batches."""
+            idx = 0
+            while True:
+                sel = []
+                for _ in range(args.batch_size):
+                    sel.append(fetch(idx))
+                    idx += 1
+                yield tuple(jnp.asarray(np.stack(xs)) for xs in zip(*sel))
 
     init = random_edgeconnect_params(seed=args.seed)
     logger = MetricsLogger(args.run_dir, sum_freq=args.log_every,
                            print_fn=logging.info)
     trained = {}
     summaries = {}
+    # per-model resume: a partial checkpoint holds every model trained so
+    # far, so a restart skips completed models instead of restarting the
+    # whole trio
+    partial = args.ckpt_out + ".partial.npz"
+    if os.path.exists(partial):
+        from mpiflow_tpu.train.edgeconnect_train import load_ec_checkpoint
+        done = load_ec_checkpoint(partial)
+        trained.update(done)
+        logging.info("resuming: %s already trained (from %s)",
+                     sorted(done), partial)
     for kind in args.models:
+        if kind in trained:
+            summaries[kind] = {"resumed": True}
+            continue
         trainer = ECTrainer(kind, lr=args.lr)
         state = trainer.init_state(init[kind], disc_seed=args.seed + 1)
         it = batches()
@@ -123,6 +167,7 @@ def main(argv=None) -> int:
         trained[kind] = state.gen_params
         summaries[kind] = {"first": first, "last": last,
                            "steps": state.step}
+        save_ec_checkpoint(partial, trained)
     # models not trained this invocation keep their init so the
     # checkpoint is always a complete ec_params tree
     for kind in ("edge", "inpaint", "disp"):

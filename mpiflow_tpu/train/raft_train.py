@@ -242,9 +242,11 @@ class Trainer:
     def run(self, state: TrainState, data_iter: Iterator,
             num_steps: Optional[int] = None,
             checkpoint_dir: Optional[str] = None,
-            validate_fn=None) -> TrainState:
+            validate_fn=None, orbax_dir: Optional[str] = None) -> TrainState:
         from mpiflow_tpu.train.logger import MetricsLogger
-        num_steps = num_steps or self.cfg.num_steps
+        # explicit 0 means "no steps left" (resume landed on the final
+        # checkpoint) -- only None falls back to the config horizon
+        num_steps = self.cfg.num_steps if num_steps is None else num_steps
         rng = np.random.RandomState(self.cfg.seed)
         logger = MetricsLogger(self.run_dir, self.sum_freq,
                                print_fn=self.log_fn)
@@ -269,6 +271,9 @@ class Trainer:
                         lr=float(self.sched(state.step)))
             if checkpoint_dir and state.step % self.cfg.val_freq == 0:
                 self.save(state, checkpoint_dir)
+                if orbax_dir:
+                    self.save_orbax(state, orbax_dir)
+                    self.prune_orbax(orbax_dir, keep=state.step)
                 if validate_fn is not None:
                     logger.write_dict(state.step, validate_fn(state.params))
         if checkpoint_dir:
@@ -299,6 +304,26 @@ class Trainer:
             ckptr.save(path, {"params": state.params,
                               "opt_state": state.opt_state,
                               "step": state.step})
+
+    @staticmethod
+    def latest_orbax_step(ckpt_dir: str) -> Optional[int]:
+        """Newest step_N checkpoint under ckpt_dir, or None."""
+        if not os.path.isdir(ckpt_dir):
+            return None
+        steps = [int(d.split("_", 1)[1]) for d in os.listdir(ckpt_dir)
+                 if d.startswith("step_") and d.split("_", 1)[1].isdigit()]
+        return max(steps) if steps else None
+
+    @staticmethod
+    def prune_orbax(ckpt_dir: str, keep: int):
+        """Drop orbax step dirs other than `keep` (crash-resume wants only
+        the newest full train state; each one is params + 2 Adam moments)."""
+        import shutil
+        for d in os.listdir(ckpt_dir):
+            if (d.startswith("step_") and d.split("_", 1)[1].isdigit()
+                    and int(d.split("_", 1)[1]) != keep):
+                shutil.rmtree(os.path.join(ckpt_dir, d),
+                              ignore_errors=True)
 
     def restore_orbax(self, ckpt_dir: str, step: int,
                       like: TrainState) -> TrainState:

@@ -88,6 +88,13 @@ def main():
         with contextlib.redirect_stdout(Tee()):
             rc = fn(argv)
         assert rc == 0, f"{stage} failed rc={rc}"
+        # stages share one process; drop compiled executables + cached
+        # jitted closures so earlier stages' HBM footprint doesn't stack
+        # under the RAFT training stage
+        import gc
+        import jax
+        jax.clear_caches()
+        gc.collect()
         # last JSON line of the stage's stdout is its summary
         summary = None
         for line in reversed(buf.getvalue().strip().splitlines()):
@@ -133,6 +140,18 @@ def main():
                     "--seed", str(args.seed)]
             argv += (["--ec_ckpt", ec_ckpt] if ec_ckpt
                      else ["--inpainter", "diffusion"])
+            # mid-stage resume off the newest periodic checkpoint (the
+            # optimizer restarts there, like the reference's
+            # --restore_ckpt); records the resume point for the table
+            import glob
+            cands = sorted(
+                glob.glob(os.path.join(adir, "checkpoints",
+                                       "*_adampi.npz")),
+                key=lambda q: int(os.path.basename(q).split("_")[0]))
+            if cands:
+                start = int(os.path.basename(cands[-1]).split("_")[0])
+                argv += ["--restore_ckpt", cands[-1],
+                         "--start_step", str(start)]
             _, dt = timed_main("adampi", adampi_main, argv)
             assert os.path.exists(adampi_ckpt), adampi_ckpt
             record("adampi", {"seconds": dt, "ckpt": adampi_ckpt})
