@@ -141,3 +141,20 @@ def test_cli_smoke(tmp_path):
     assert rc == 0
     loaded = load_ec_checkpoint(out)
     assert set(loaded) == {"edge", "inpaint", "disp"}
+
+
+def test_partial_checkpoint_resume(tmp_path):
+    """The trainer CLI's per-model partial checkpoint lets a restarted run
+    skip already-trained models: a partial holding only `edge` loads as a
+    one-entry dict, and re-saving with more models accumulates."""
+    init = random_edgeconnect_params(seed=0)
+    partial = str(tmp_path / "ec.npz.partial.npz")
+    save_ec_checkpoint(partial, {"edge": init["edge"]})
+    loaded = load_ec_checkpoint(partial)
+    assert set(loaded) == {"edge"}
+    save_ec_checkpoint(partial, {"edge": init["edge"],
+                                 "inpaint": init["inpaint"]})
+    assert set(load_ec_checkpoint(partial)) == {"edge", "inpaint"}
+    for k, v in loaded["edge"].items():
+        np.testing.assert_array_equal(np.asarray(v),
+                                      np.asarray(init["edge"][k]))

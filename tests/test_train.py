@@ -203,3 +203,40 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
         jax.tree_util.tree_map(jnp.zeros_like, restored.params),
         restored.opt_state, restored.params)
     jax.block_until_ready(upd)
+
+
+def test_orbax_latest_and_prune(tmp_path):
+    """Crash-resume helpers: latest_orbax_step picks the newest complete
+    step dir (ignoring orbax tmp dirs), prune_orbax keeps only `keep`."""
+    from mpiflow_tpu.train.raft_train import Trainer
+    import os
+    assert Trainer.latest_orbax_step(str(tmp_path / "nope")) is None
+    for d in ("step_100", "step_500",
+              "step_700.orbax-checkpoint-tmp-123"):  # in-flight write
+        os.makedirs(tmp_path / d)
+    assert Trainer.latest_orbax_step(str(tmp_path)) == 500
+    Trainer.prune_orbax(str(tmp_path), keep=500)
+    left = sorted(os.listdir(tmp_path))
+    assert "step_500" in left and "step_100" not in left
+
+
+def test_run_zero_steps_is_noop(tmp_path):
+    """run(num_steps=0) must train nothing (resume landed on the final
+    checkpoint); only num_steps=None falls back to cfg.num_steps."""
+    from mpiflow_tpu.cli.train_raft import init_random_params
+    from mpiflow_tpu.train.raft_train import Trainer
+    cfg = TrainConfig(lr=1e-3, num_steps=10, iters=2, batch_size=1,
+                      image_size=(64, 96))
+    tr = Trainer(cfg, RAFTConfig.small_config(), log_fn=lambda *a: None,
+                 run_dir=str(tmp_path))
+    params = {k: jnp.asarray(v)
+              for k, v in init_random_params(small=True, seed=0).items()}
+    state = tr.init_state(params)
+    state.step = 10
+
+    def exploding_iter():
+        raise AssertionError("run(num_steps=0) pulled a batch")
+        yield  # pragma: no cover
+
+    out = tr.run(state, exploding_iter(), num_steps=0)
+    assert out.step == 10
