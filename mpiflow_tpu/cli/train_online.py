@@ -36,6 +36,13 @@ def build_parser():
     # training side (reference train flags)
     p.add_argument("--name", default="raft-online")
     p.add_argument("--restore_ckpt", default=None)
+    p.add_argument("--resume_step", action="store_true",
+                   help="continue the step counter from the restored "
+                        ".npz's embedded step (periodic checkpoints "
+                        "record it): trains num_steps-step MORE steps, "
+                        "so a supervisor restart completes the original "
+                        "horizon instead of redoing it; metrics.jsonl "
+                        "appends, stitching the windows across restarts")
     p.add_argument("--small", action="store_true")
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--num_steps", type=int, default=32000)
@@ -156,17 +163,22 @@ def main(argv=None) -> int:
         model_cfg = dataclasses.replace(model_cfg, remat_gru=True)
     trainer = Trainer(train_cfg, model_cfg)
 
+    restored_step = 0
     if args.restore_ckpt:
         from mpiflow_tpu.models.torch_convert import (load_torch_checkpoint,
                                                       convert_state_dict)
         if args.restore_ckpt.endswith(".npz"):
-            params, _ = Trainer.load_params(args.restore_ckpt)
+            params, restored_step = Trainer.load_params(args.restore_ckpt)
         else:
             ckpt = load_torch_checkpoint(args.restore_ckpt)
             params = convert_state_dict(ckpt.get("weight", ckpt))
     else:
         params = init_random_params(args.small, args.seed)
     state = trainer.init_state(params)
+    if args.resume_step and restored_step:
+        state.step = restored_step
+        logging.info("resuming the step counter at %d (optimizer restarts, "
+                     "like the reference's --restore_ckpt)", restored_step)
 
     data_iter = make_train_iterator(buffer, args.batch_size, seed=args.seed,
                                     num_threads=2)
@@ -186,7 +198,7 @@ def main(argv=None) -> int:
     win_gen = 0.0
     win_steps = 0
     window_rates = []
-    for step in range(args.num_steps):
+    for step in range(state.step, args.num_steps):
         if step % args.gen_every == 0:
             tg = time.time()
             generate_one()
