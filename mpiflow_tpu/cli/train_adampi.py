@@ -62,6 +62,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "for the stage-2 inpainter; overrides --inpainter")
     p.add_argument("--trans_x", type=float, default=0.2,
                    help="warpback pose x-translation range (rand_tensor r)")
+    p.add_argument("--pool_per_scene", type=int, default=0,
+                   help="pre-render this many stage-2 pairs per scene once "
+                        "and cycle them, instead of synthesizing per step "
+                        "(same lever as train_edgeconnect --pool_per_scene: "
+                        "synthesis costs several seconds per batch on the "
+                        "tunneled chip, dominating the step). 0 = per-step "
+                        "synthesis (fresh poses every step)")
     p.add_argument("--restore_ckpt", default=None,
                    help=".pth or .npz AdaMPI checkpoint to fine-tune")
     p.add_argument("--ckpt_every", type=int, default=500)
@@ -192,6 +199,37 @@ def main(argv=None) -> int:
         return shard_batch(mesh, x)
 
     rng = np.random.RandomState(args.seed + 1)
+
+    # ---- optional pre-rendered pair pool --------------------------------
+    # Deterministic under resume: the pool build consumes rng first in the
+    # same order every run, so a --start_step restart cycles the identical
+    # pool the original run trained on.
+    pool = None
+    if args.pool_per_scene > 0:
+        import time
+        t0 = time.time()
+        order = np.repeat(np.arange(rgb_all.shape[0]), args.pool_per_scene)
+        B = args.batch_size
+        pad = (-len(order)) % B
+        if pad:
+            order = np.concatenate([order, order[:pad]])
+        keys = ("src_rgb", "src_disp", "tgt_rgb", "tgt_disp")
+        buf = {k: [] for k in keys}
+        exts = []
+        for s in range(0, len(order), B):
+            idx = order[s:s + B]
+            poses = [sample_warpback_pose(rng, trans_range) for _ in idx]
+            exts.append(np.stack([p[1] for p in poses]))
+            out = synth(jnp.asarray(rgb_all[idx]),
+                        jnp.asarray(disp_all[idx]),
+                        jnp.asarray(np.stack([p[0] for p in poses])))
+            for k in keys:
+                buf[k].append(np.asarray(out[k]))
+        pool = {k: np.concatenate(v) for k, v in buf.items()}
+        pool["ext_back"] = np.concatenate(exts)
+        logging.info("pre-rendered %d stage-2 pairs in %.1fs",
+                     len(pool["ext_back"]), time.time() - t0)
+
     logger = MetricsLogger(args.work_dir, sum_freq=100,
                            print_fn=logging.info)
     ckpt_dir = os.path.join(args.work_dir, "checkpoints")
@@ -205,15 +243,24 @@ def main(argv=None) -> int:
                        num_planes=cfg.num_planes)
 
     for i in range(args.start_step, args.num_steps):
-        idx = rng.randint(0, rgb_all.shape[0], size=args.batch_size)
-        # forward pose warps the original to the novel view; its inverse is
-        # the warp-back render pose (WarpbackStage2 cam_ext semantics)
-        poses = [sample_warpback_pose(rng, trans_range)
-                 for _ in range(args.batch_size)]
-        ext_fwd = np.stack([p[0] for p in poses])
-        ext_back = np.stack([p[1] for p in poses])
-        batch = synth(jnp.asarray(rgb_all[idx]), jnp.asarray(disp_all[idx]),
-                      jnp.asarray(ext_fwd))
+        if pool is not None:
+            idx = rng.randint(0, pool["ext_back"].shape[0],
+                              size=args.batch_size)
+            batch = {k: pool[k][idx] for k in
+                     ("src_rgb", "src_disp", "tgt_rgb", "tgt_disp")}
+            ext_back = pool["ext_back"][idx]
+        else:
+            idx = rng.randint(0, rgb_all.shape[0], size=args.batch_size)
+            # forward pose warps the original to the novel view; its
+            # inverse is the warp-back render pose (WarpbackStage2
+            # cam_ext semantics)
+            poses = [sample_warpback_pose(rng, trans_range)
+                     for _ in range(args.batch_size)]
+            ext_fwd = np.stack([p[0] for p in poses])
+            ext_back = np.stack([p[1] for p in poses])
+            batch = synth(jnp.asarray(rgb_all[idx]),
+                          jnp.asarray(disp_all[idx]),
+                          jnp.asarray(ext_fwd))
         params, opt_state, metrics = step_fn(
             params, opt_state, shard(batch["src_rgb"]),
             shard(batch["src_disp"]), shard(batch["tgt_rgb"]),

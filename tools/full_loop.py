@@ -140,6 +140,7 @@ def main():
                     "--num_images", str(p["adampi_scenes"]),
                     "--num_steps", str(p["adampi_steps"]),
                     "--batch_size", str(p["adampi_batch"]),
+                    "--pool_per_scene", "4",
                     "--seed", str(args.seed)]
             argv += (["--ec_ckpt", ec_ckpt] if ec_ckpt
                      else ["--inpainter", "diffusion"])
