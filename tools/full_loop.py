@@ -218,6 +218,21 @@ def main():
         results[variant] = s
         record(f"loop_{variant}", s)
 
+    # ---- table (written BEFORE the optional extension so a run cut off
+    # mid-extension still lands the complete per-variant headline table) --
+    def write_table():
+        table["table"] = {
+            v: {"epe_final": r["epe_final"], "3px_final": r["3px_final"],
+                "epe_init": r["epe_init"]} for v, r in results.items()}
+        if {"adampi_trained", "adampi_random"} <= set(results):
+            table["trained_beats_random"] = (
+                results["adampi_trained"]["epe_final"]
+                < results["adampi_random"]["epe_final"])
+        with open(table_path, "w") as f:
+            json.dump(table, f, indent=1)
+
+    write_table()
+
     # ---- 5. optional extension of the best variant's training -----------
     if p["extend_best"] > 0:
         best = min(results, key=lambda v: results[v]["epe_final"])
@@ -248,16 +263,7 @@ def main():
         s["seconds"] = dt
         record(f"extend_{best}", s)
 
-    # ---- table ----------------------------------------------------------
-    table["table"] = {
-        v: {"epe_final": r["epe_final"], "3px_final": r["3px_final"],
-            "epe_init": r["epe_init"]} for v, r in results.items()}
-    if len(results) > 1 and {"adampi_trained", "adampi_random"} <= set(results):
-        table["trained_beats_random"] = (
-            results["adampi_trained"]["epe_final"]
-            < results["adampi_random"]["epe_final"])
-    with open(table_path, "w") as f:
-        json.dump(table, f, indent=1)
+    write_table()
     print(json.dumps(table["table"]))
 
 
