@@ -203,3 +203,33 @@ def test_cli_and_npz_predictor_roundtrip(tmp_path):
     ref_rgb, ref_sigma, _ = adampi_forward(params, img, dsp, S)
     assert float(jnp.abs(mpi_rgb - ref_rgb).max()) < 1e-5
     assert float(jnp.abs(mpi_sigma - ref_sigma).max()) < 1e-5
+
+
+def test_cli_pool_path_and_resume(tmp_path):
+    """--pool_per_scene pre-renders the pair pool once and cycles it
+    (the product-scale lever: per-step synthesis cost ~6.7 s/step on the
+    tunneled chip, logs/full_loop_product.log). Mechanics gated here:
+    the pool path trains and checkpoints, and a --start_step restart
+    (which rebuilds the identical pool — the build consumes the RNG
+    first in the same order) completes the horizon."""
+    from mpiflow_tpu.cli.train_adampi import main
+    import os
+    wd = str(tmp_path / "pool_run")
+    rc = main(["--work_dir", wd, "--width", str(W), "--height", str(H),
+               "--planes", str(S), "--num_steps", "4", "--batch_size",
+               str(B), "--num_images", "2", "--pool_per_scene", "2",
+               "--ckpt_every", "2", "--lr", "1e-3"])
+    assert rc == 0
+    assert os.path.exists(f"{wd}/checkpoints/4_adampi.npz")
+
+    # resume from the step-2 periodic checkpoint: trains 2 more steps,
+    # absolute checkpoint names continue
+    os.remove(f"{wd}/checkpoints/4_adampi.npz")
+    rc = main(["--work_dir", wd, "--width", str(W), "--height", str(H),
+               "--planes", str(S), "--num_steps", "4", "--batch_size",
+               str(B), "--num_images", "2", "--pool_per_scene", "2",
+               "--ckpt_every", "2", "--lr", "1e-3",
+               "--restore_ckpt", f"{wd}/checkpoints/2_adampi.npz",
+               "--start_step", "2"])
+    assert rc == 0
+    assert os.path.exists(f"{wd}/checkpoints/4_adampi.npz")
