@@ -40,9 +40,13 @@ SCALES = {
     # adampi_batch=2: the batch-4 train step needs 23.67G HBM (compile-time
     # OOM on the 15.75G v5e, logs/full_loop_product.log attempt 1); the
     # vmapped per-sample temps scale linearly, so 2 fits with headroom
+    # adampi_steps=1000: the batch-2 step measures ~2.9s on the tunneled
+    # chip even with the pre-rendered pair pool (the step itself, not
+    # synthesis, dominates); 2000 steps would cost ~96 min and push the
+    # three 2000-step RAFT variants past a single-chip session budget
     "product": dict(ah=256, aw=384, gh=384, gw=1280, planes=64, scenes=200,
                     val_scenes=8, repeat=5, adampi_scenes=48,
-                    adampi_steps=2000, adampi_batch=2, ec_steps=1000,
+                    adampi_steps=1000, adampi_batch=2, ec_steps=1000,
                     raft_steps=2000, raft_batch=4, small=False, iters=12,
                     eval_iters=24, extend_best=3000),
 }
