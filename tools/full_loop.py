@@ -49,6 +49,18 @@ SCALES = {
                     adampi_steps=1000, adampi_batch=2, ec_steps=1000,
                     raft_steps=2000, raft_batch=4, small=False, iters=12,
                     eval_iters=24, extend_best=3000),
+    # product GEOMETRY (full res / planes / model / crop / iters) with step
+    # budgets sized from the measured stage rates (EC 1.84 s/step, AdaMPI
+    # 2.9 s/step, RAFT 0.49 s/step, generation ~5.9 pairs/s -- logs/
+    # full_loop_product.log, bench_corr.log, BENCH_r04.json) to fit one
+    # ~50-min single-chip session end to end. The deciding table is the
+    # same three-variant table at the same shapes; only the training
+    # horizons are shorter than "product".
+    "headline": dict(ah=256, aw=384, gh=384, gw=1280, planes=64, scenes=40,
+                     val_scenes=4, repeat=5, adampi_scenes=24,
+                     adampi_steps=250, adampi_batch=2, ec_steps=150,
+                     raft_steps=400, raft_batch=4, small=False, iters=12,
+                     eval_iters=24, extend_best=0),
 }
 
 
@@ -196,10 +208,23 @@ def main():
     # --image_size 288 960); also the config whose HBM fit + step time are
     # pinned by logs/bench_corr.log (the default 7/8 crop of 384x1280 is
     # 336x1120, within 10% of the round-4 OOM shape)
-    crop = ["--crop", "288", "960"] if args.scale == "product" else []
+    crop = (["--crop", "288", "960"]
+            if args.scale in ("product", "headline") else [])
 
     # ---- 4. generate + train RAFT + eval, per predictor variant ---------
     results = {}
+
+    def write_table():
+        table["table"] = {
+            v: {"epe_final": r["epe_final"], "3px_final": r["3px_final"],
+                "epe_init": r["epe_init"]} for v, r in results.items()}
+        if {"adampi_trained", "adampi_random"} <= set(results):
+            table["trained_beats_random"] = (
+                results["adampi_trained"]["epe_final"]
+                < results["adampi_random"]["epe_final"])
+        with open(table_path, "w") as f:
+            json.dump(table, f, indent=1)
+
     for variant in args.variants:
         vdir = os.path.join(work, f"loop_{variant}")
         argv = crop + ["--work_dir", vdir, "--base", base,
@@ -221,19 +246,7 @@ def main():
         s["seconds"] = dt
         results[variant] = s
         record(f"loop_{variant}", s)
-
-    # ---- table (written BEFORE the optional extension so a run cut off
-    # mid-extension still lands the complete per-variant headline table) --
-    def write_table():
-        table["table"] = {
-            v: {"epe_final": r["epe_final"], "3px_final": r["3px_final"],
-                "epe_init": r["epe_init"]} for v, r in results.items()}
-        if {"adampi_trained", "adampi_random"} <= set(results):
-            table["trained_beats_random"] = (
-                results["adampi_trained"]["epe_final"]
-                < results["adampi_random"]["epe_final"])
-        with open(table_path, "w") as f:
-            json.dump(table, f, indent=1)
+        write_table()   # incremental: a cut run keeps its finished rows
 
     write_table()
 
