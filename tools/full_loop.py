@@ -87,6 +87,12 @@ def main():
     os.makedirs(work, exist_ok=True)
     table_path = os.path.join(work, "full_loop.json")
     table = {"scale": args.scale, "params": p, "stages": {}}
+    if os.path.exists(table_path):
+        # crash-restart: stages recorded by a previous attempt are final
+        # (each loop_{variant} entry is a finished RAFT run on the shared
+        # val set), so reuse them instead of re-training the variant
+        with open(table_path) as f:
+            table["stages"].update(json.load(f).get("stages", {}))
 
     def record(stage, payload):
         table["stages"][stage] = payload
@@ -226,6 +232,13 @@ def main():
             json.dump(table, f, indent=1)
 
     for variant in args.variants:
+        prior = table["stages"].get(f"loop_{variant}")
+        if prior and "epe_final" in prior:
+            results[variant] = prior
+            print(f"[full_loop] loop_{variant}: resumed from table",
+                  flush=True)
+            write_table()
+            continue
         vdir = os.path.join(work, f"loop_{variant}")
         argv = crop + ["--work_dir", vdir, "--base", base,
                 "--val_pairs", val_pairs,
